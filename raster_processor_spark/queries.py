@@ -1,0 +1,758 @@
+"""Query registry: every implemented operator as (Spark plan, DuckDB oracle).
+
+Each entry maps a SURVEY.md §2 operator (or a training-data-pipeline op) onto
+the driver's synthetic tables. Geospatial queries georeference rows
+deterministically from their keys (geo.py triplet arithmetic) so the Spark
+plan and the DuckDB oracle compute bit-identical lat/lon/cell/join results.
+
+Aliases are synchronized between the Spark plan and the oracle SQL (the
+driver's compare sorts columns by name). Float aggregates are rounded to six
+decimals on BOTH sides: double sums associate differently across engines;
+rounding removes the ulp noise while keeping the check tight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from raster_processor_spark import cellindex as ci
+from raster_processor_spark import geo
+from raster_processor_spark.functions.cells import (
+    quad_cell_col,
+    quad_cell_udf,
+    quad_parent_col,
+)
+from raster_processor_spark.functions.quality import (
+    summary_qual_col,
+    summary_qual_sql,
+)
+from raster_processor_spark.operators import aggregates as agg
+from raster_processor_spark.operators import knn as knn_op
+from raster_processor_spark.operators import spatial_join as sj
+from raster_processor_spark.operators import windows as win
+
+N_POLYS = 24
+KNN_K = 5
+
+# ---------------------------------------------------------------- helpers ---
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents georeferenced by doc_id → (key, lat, lon, n_chars, lang, source)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("key"),
+        geo.lat_col(F.col("doc_id")).alias("lat"),
+        geo.lon_col(F.col("doc_id")).alias("lon"),
+        "n_chars",
+        "lang",
+        "source",
+    )
+
+
+DOC_PTS_SQL = (
+    "SELECT doc_id AS key, "
+    f"{geo.lat_sql('doc_id')} AS lat, {geo.lon_sql('doc_id')} AS lon, "
+    "n_chars, lang, source FROM documents"
+)
+
+
+def pixc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → reference-semantics point table (FIXTURES.md F2 analogue):
+    classification / height / variance / areas derived deterministically."""
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    return li.select(
+        key.alias("key"),
+        geo.lat_col(key).alias("lat"),
+        geo.lon_col(key).alias("lon"),
+        (F.pmod(F.col("l_linenumber"), F.lit(7)) + 1).alias("classification"),
+        (F.col("l_extendedprice") / 1000.0).alias("height"),
+        (F.col("l_tax") + 0.01).alias("height_var"),
+        # integer weight (w ≡ 1/σ² with σ² defined as 1/w): exact sums
+        (F.pmod(F.col("l_suppkey"), F.lit(7)) + 1).cast("double").alias("height_w"),
+        (F.col("l_quantity") * 10.0).alias("pixel_area"),
+        F.col("l_discount").alias("water_frac"),
+        F.pmod(F.col("l_linenumber"), F.lit(3)).alias("ice_clim_flag"),
+        F.pmod(F.col("l_orderkey"), F.lit(3)).alias("ice_dyn_flag"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long").alias("qual_word"),
+        (F.col("l_extendedprice") / 100000.0).alias("geoid"),
+        (F.col("l_discount") / 10.0).alias("solid_earth_tide"),
+        (F.col("l_tax") / 10.0).alias("pole_tide"),
+    )
+
+
+_PIXC_KEY = "(l_orderkey * 8 + l_linenumber)"
+PIXC_PTS_SQL = f"""
+SELECT {_PIXC_KEY} AS key,
+       {geo.lat_sql(_PIXC_KEY)} AS lat,
+       {geo.lon_sql(_PIXC_KEY)} AS lon,
+       (l_linenumber % 7) + 1 AS classification,
+       l_extendedprice / 1000.0 AS height,
+       l_tax + 0.01 AS height_var,
+       CAST((l_suppkey % 7) + 1 AS DOUBLE) AS height_w,
+       l_quantity * 10.0 AS pixel_area,
+       l_discount AS water_frac,
+       l_linenumber % 3 AS ice_clim_flag,
+       l_orderkey % 3 AS ice_dyn_flag,
+       CAST(l_suppkey % 1024 AS BIGINT) AS qual_word,
+       l_extendedprice / 100000.0 AS geoid,
+       l_discount / 10.0 AS solid_earth_tide,
+       l_tax / 10.0 AS pole_tide
+FROM lineitem
+"""
+
+INTERIOR = [4, 7]
+EDGE = [3, 6]
+DARK = [5]
+
+CELL7_SQL = ci.quad_cell_sql("lat", "lon", 7)
+CELL8_SQL = ci.quad_cell_sql("lat", "lon", 8)
+CELL9_SQL = ci.quad_cell_sql("lat", "lon", 9)
+
+
+def with_cell(df: DataFrame, res: int, alias: str = "cell_id") -> DataFrame:
+    """Arrow-batched pandas-UDF cell assignment (north-star hot path)."""
+    return df.withColumn(alias, quad_cell_udf(res)(F.col("lat"), F.col("lon")))
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+# ====================================================================== J1 ===
+# tile assignment: the core point→cell spatial assignment join
+# (reference products.py:1102-1155 bin math ≡ cell encode at fixed res)
+
+@q(
+    "tile_assign",
+    f"""
+WITH pts AS ({DOC_PTS_SQL})
+SELECT key, {CELL9_SQL} AS cell9,
+       {ci.quad_parent_sql(CELL9_SQL, 9, 8)} AS cell8,
+       {ci.quad_parent_sql(CELL9_SQL, 9, 7)} AS cell7
+FROM pts
+""",
+)
+def tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(doc_points(spark, sf_dir), 9, "cell9")
+    return pts.select(
+        "key",
+        "cell9",
+        quad_parent_col(F.col("cell9"), 9, 8).alias("cell8"),
+        quad_parent_col(F.col("cell9"), 9, 7).alias("cell7"),
+    )
+
+
+# ================================================================== J1+A1 ====
+# fused per-cell aggregation (one shuffle for count/avg/sum)
+
+@q(
+    "cell_agg_counts",
+    f"""
+WITH pts AS ({DOC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_rows,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM pts GROUP BY 1
+""",
+)
+def cell_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(doc_points(spark, sf_dir), 7)
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# ============================================================ multi-res ======
+# hierarchy rollup across res 7/8/9 (prefix property; SURVEY §2.4 note)
+
+@q(
+    "cell_rollup",
+    f"""
+WITH pts AS ({DOC_PTS_SQL}),
+assigned AS (SELECT key, n_chars, {CELL9_SQL} AS cell9 FROM pts)
+SELECT 9 AS res, cell9 AS cell_id, COUNT(*) AS n_rows FROM assigned GROUP BY 2
+UNION ALL
+SELECT 8 AS res, {ci.quad_parent_sql('cell9', 9, 8)} AS cell_id, COUNT(*) AS n_rows
+FROM assigned GROUP BY 2
+UNION ALL
+SELECT 7 AS res, {ci.quad_parent_sql('cell9', 9, 7)} AS cell_id, COUNT(*) AS n_rows
+FROM assigned GROUP BY 2
+""",
+)
+def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(doc_points(spark, sf_dir), 9, "cell9")
+    parts = []
+    for res in (9, 8, 7):
+        cell = F.col("cell9") if res == 9 else quad_parent_col(F.col("cell9"), 9, res)
+        parts.append(
+            pts.groupBy(cell.alias("cell_id")).agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(res).alias("res"), "cell_id", "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ====================================================================== J5 ===
+# two-phase point-in-polygon join (flagship)
+
+@q("pip_join", sj.pip_join_sql(DOC_PTS_SQL, N_POLYS))
+def pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir)
+    return sj.point_in_polygon_join(
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("key")
+    )
+
+
+# =============================================================== J5+A17 ======
+# zonal aggregation per polygon (raster→vector)
+
+@q(
+    "zonal_stats",
+    f"""
+WITH pip AS ({sj.pip_join_sql(DOC_PTS_SQL, N_POLYS)}),
+pts AS ({DOC_PTS_SQL})
+SELECT pip.poly_id AS poly_id,
+       COUNT(*) AS n_points,
+       ROUND(AVG(pts.n_chars), 6) AS avg_chars,
+       CAST(SUM(pts.n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(pts.key) AS BIGINT) AS min_key
+FROM pip JOIN pts ON pip.key = pts.key
+GROUP BY 1
+""",
+)
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir)
+    pip = sj.point_in_polygon_join(
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("key")
+    )
+    return (
+        pip.join(pts, "key")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("key").alias("min_key"),
+        )
+    )
+
+
+# ====================================================================== J9 ===
+# kNN via ring expansion
+
+@q("knn", knn_op.knn_sql(DOC_PTS_SQL, KNN_K))
+def knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
+    return knn_op.knn_join(pts, KNN_K)
+
+
+# ====================================================================== A6 ===
+# inverse-variance weighted mean per cell (9-layer fused agg in one pass)
+
+# Weighted-mean parity strategy: the kernel is Σ(x·w)/Σ(w) with w = 1/σ²
+# (raster_agg.py:69-78). For the cross-engine check, the fixture defines the
+# weight as an integer (σ² ≡ 1/w) and integerizes each layer at its exact
+# decimal precision — every SUM is then an exact integer in double, immune to
+# summation order, and the quotient is a single deterministic division. No
+# output rounding anywhere (rounding at engine-structured decimal boundaries
+# is exactly where Spark's and DuckDB's HALF semantics diverge).
+_WM_LAYERS_SQL = {
+    # layer → (integerized expr, descale)
+    "height_wm": ("ROUND(height * 100000.0)", "100000.0"),
+    "geoid_wm": ("ROUND(geoid * 10000000.0)", "10000000.0"),
+    "set_wm": ("ROUND(solid_earth_tide * 1000.0)", "1000.0"),
+    "pole_wm": ("ROUND(pole_tide * 1000.0)", "1000.0"),
+}
+_WM_SELECT_SQL = ",\n       ".join(
+    f"SUM({expr} * height_w) / SUM(height_w) / {descale} AS {alias}"
+    for alias, (expr, descale) in _WM_LAYERS_SQL.items()
+)
+
+
+@q(
+    "wse_weighted_mean",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_pix,
+       {_WM_SELECT_SQL},
+       (SUM(ROUND(height * 100000.0) * height_w) / SUM(height_w) / 100000.0)
+       - ((SUM(ROUND(geoid * 10000000.0) * height_w) / SUM(height_w) / 10000000.0)
+          + (SUM(ROUND(solid_earth_tide * 1000.0) * height_w) / SUM(height_w) / 1000.0)
+          + (SUM(ROUND(pole_tide * 1000.0) * height_w) / SUM(height_w) / 1000.0))
+         AS wse
+FROM pts GROUP BY 1
+""",
+)
+def wse_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    w = F.col("height_w")
+
+    def wm(col: str, scale: float):
+        return F.sum(F.round(F.col(col) * scale) * w) / F.sum(w) / scale
+
+    h = wm("height", 1e5)
+    g = wm("geoid", 1e7)
+    s = wm("solid_earth_tide", 1e3)
+    p = wm("pole_tide", 1e3)
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        h.alias("height_wm"),
+        g.alias("geoid_wm"),
+        s.alias("set_wm"),
+        p.alias("pole_wm"),
+        (h - (g + s + p)).alias("wse"),
+    )
+
+
+# ====================================================================== A9 ===
+
+@q(
+    "water_area_composite",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       ROUND(SUM(CASE WHEN classification IN (4, 7) THEN pixel_area
+                 WHEN classification IN (3, 6) THEN pixel_area * water_frac
+                 ELSE 0.0 END), 6) AS water_area,
+       COUNT(CASE WHEN classification IN (4, 7) THEN 1 END) AS n_interior,
+       COUNT(CASE WHEN classification IN (3, 6) THEN 1 END) AS n_edge
+FROM pts GROUP BY 1
+""",
+)
+def water_area_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    cls = F.col("classification")
+    return pts.groupBy("cell_id").agg(
+        F.round(
+            F.sum(
+                F.when(cls.isin(INTERIOR), F.col("pixel_area"))
+                .when(cls.isin(EDGE), F.col("pixel_area") * F.col("water_frac"))
+                .otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("water_area"),
+        F.count(F.when(cls.isin(INTERIOR), F.lit(1))).alias("n_interior"),
+        F.count(F.when(cls.isin(EDGE), F.lit(1))).alias("n_edge"),
+    )
+
+
+# ====================================================================== A11 ==
+
+@q(
+    "dark_frac",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       ROUND({agg.dark_frac_sql('classification', 'pixel_area', 'water_frac',
+                                DARK, INTERIOR, EDGE, 'x')[: -len(' AS x')]}, 6)
+         AS dark_frac
+FROM pts GROUP BY 1
+""",
+)
+def dark_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    cls = F.col("classification")
+    dark_area = F.sum(
+        F.when(cls.isin(DARK), F.col("pixel_area")).otherwise(F.lit(0.0))
+    )
+    total = F.sum(
+        F.when(cls.isin(INTERIOR), F.col("pixel_area"))
+        .when(cls.isin(EDGE), F.col("pixel_area") * F.col("water_frac"))
+        .otherwise(F.lit(0.0))
+    )
+    return pts.groupBy("cell_id").agg(
+        F.round(
+            F.when(dark_area == 0.0, F.lit(0.0)).otherwise(dark_area / total), 6
+        ).alias("dark_frac")
+    )
+
+
+# ====================================================================== A13 ==
+
+@q(
+    "ice_flags",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       {agg.ice_flag_sql('ice_clim_flag', 1, 'ice_clim')},
+       {agg.ice_flag_sql('ice_dyn_flag', 1, 'ice_dyn')}
+FROM pts GROUP BY 1
+""",
+)
+def ice_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    return pts.groupBy("cell_id").agg(
+        agg.ice_flag(F.col("ice_clim_flag"), 1, "ice_clim"),
+        agg.ice_flag(F.col("ice_dyn_flag"), 1, "ice_dyn"),
+    )
+
+
+# ====================================================================== A14 ==
+# qual roll-up: disjoint bits assembled once per cell + summary severity
+
+_QUAL_CONDS_SQL: list[tuple[str, int]] = [
+    ("(qual_word & 1) > 0", 1 << 1),          # any row suspect
+    ("(qual_word & 2) > 0", 1 << 3),          # blocking width analogue
+    ("height_var > 0.07", 1 << 11),           # large uncert → degraded
+    ("height > 550.0", 1 << 20),              # out of range → bad
+]
+
+
+@q(
+    "qual_rollup",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       {agg.qual_bitwise_rollup_sql(_QUAL_CONDS_SQL, 'qual_bitwise')},
+       (CASE WHEN MAX(CASE WHEN height > 550.0 THEN 1 ELSE 0 END) = 1 THEN 3
+             WHEN MAX(CASE WHEN height_var > 0.07 THEN 1 ELSE 0 END) = 1 THEN 2
+             WHEN MAX(CASE WHEN (qual_word & 3) > 0 THEN 1 ELSE 0 END) = 1 THEN 1
+             ELSE 0 END) AS qual_summary,
+       COUNT(*) AS n_pix
+FROM pts GROUP BY 1
+""",
+)
+def qual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    qw = F.col("qual_word")
+    conds = [
+        (qw.bitwiseAND(F.lit(1)) > 0, 1 << 1),
+        (qw.bitwiseAND(F.lit(2)) > 0, 1 << 3),
+        (F.col("height_var") > 0.07, 1 << 11),
+        (F.col("height") > 550.0, 1 << 20),
+    ]
+
+    def any_of(cond):
+        return F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))) == 1
+
+    summary = (
+        F.when(any_of(F.col("height") > 550.0), F.lit(3))
+        .when(any_of(F.col("height_var") > 0.07), F.lit(2))
+        .when(any_of(qw.bitwiseAND(F.lit(3)) > 0), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return pts.groupBy("cell_id").agg(
+        agg.qual_bitwise_rollup(conds, "qual_bitwise"),
+        summary.alias("qual_summary"),
+        F.count(F.lit(1)).alias("n_pix"),
+    )
+
+
+# ====================================================================== P2 ===
+# bitflag → summary severity projection, aggregated to keep output small
+
+@q(
+    "summary_qual_projection",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {summary_qual_sql('qual_word', 7, 56, 448)} AS severity, COUNT(*) AS n_rows
+FROM pts GROUP BY 1
+""",
+)
+def summary_qual_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pixc_points(spark, sf_dir)
+    sev = summary_qual_col(F.col("qual_word"), 7, 56, 448)
+    return pts.groupBy(sev.alias("severity")).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ====================================================================== A12 ==
+
+@q(
+    "mode_class",
+    agg.mode_agg_sql(
+        f"SELECT {CELL7_SQL} AS cell_id, classification FROM ({PIXC_PTS_SQL})",
+        ["cell_id"],
+        "classification",
+        "mode_class",
+    ),
+)
+def mode_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    return agg.mode_agg(
+        pts.select("cell_id", "classification"), ["cell_id"], "classification", "mode_class"
+    )
+
+
+# ====================================================================== J8 ===
+# truth↔proc raster comparison: full-outer join on cell_id with null masks
+
+# height has 5 decimal digits (price/1000): averaging it directly is order-
+# dependent in the last ulp and lands exactly on round-boundaries. Integerize
+# first (ROUND(height*1e5) is an exact integer double) → sums are exact and
+# order-independent → the average is bit-deterministic, no output rounding.
+_H_INT_SQL = "ROUND(height * 100000.0)"
+
+
+@q(
+    "raster_compare",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+a AS (SELECT {CELL7_SQL} AS cell_id, SUM({_H_INT_SQL}) / COUNT(*) AS h
+      FROM pts WHERE key % 2 = 0 GROUP BY 1),
+b AS (SELECT {CELL7_SQL} AS cell_id, SUM({_H_INT_SQL}) / COUNT(*) AS h
+      FROM pts WHERE key % 2 = 1 GROUP BY 1)
+SELECT COALESCE(a.cell_id, b.cell_id) AS cell_id,
+       (a.h - b.h) / 100000.0 AS h_err,
+       (a.h IS NOT NULL AND b.h IS NOT NULL) AS common,
+       (a.h IS NOT NULL AND b.h IS NULL) AS only_a,
+       (a.h IS NULL AND b.h IS NOT NULL) AS only_b
+FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id
+""",
+)
+def raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    h_int = F.round(F.col("height") * 100000.0)
+    a = (
+        pts.where(F.pmod(F.col("key"), F.lit(2)) == 0)
+        .groupBy("cell_id")
+        .agg((F.sum(h_int) / F.count(F.lit(1))).alias("h"))
+        .alias("a")
+    )
+    b = (
+        pts.where(F.pmod(F.col("key"), F.lit(2)) == 1)
+        .groupBy("cell_id")
+        .agg((F.sum(h_int) / F.count(F.lit(1))).alias("h"))
+        .alias("b")
+    )
+    joined = a.join(b, F.col("a.cell_id") == F.col("b.cell_id"), "full_outer")
+    ah, bh = F.col("a.h"), F.col("b.h")
+    return joined.select(
+        F.coalesce(F.col("a.cell_id"), F.col("b.cell_id")).alias("cell_id"),
+        ((ah - bh) / 100000.0).alias("h_err"),
+        (ah.isNotNull() & bh.isNotNull()).alias("common"),
+        (ah.isNotNull() & bh.isNull()).alias("only_a"),
+        (ah.isNull() & bh.isNotNull()).alias("only_b"),
+    )
+
+
+# ====================================================================== W1 ===
+
+@q(
+    "sessionize",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN LAG(tus) OVER w IS NULL
+                   OR tus - LAG(tus) OVER w > 3600000000 THEN 1 ELSE 0 END AS jump
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+sessions AS (
+  SELECT user_id, tus,
+         SUM(jump) OVER (PARTITION BY user_id ORDER BY tus
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY 1
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    s = win.gap_sessionize(e, ["user_id"], F.col("tus"), 3_600_000_000)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ====================================================================== W2 ===
+
+@q(
+    "lon_unwrap",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, (value % 360.0) - 180.0 AS lon FROM events
+),
+stepped AS (
+  SELECT user_id, tus, lon,
+         CASE WHEN LAG(lon) OVER w IS NULL THEN 0.0
+              WHEN lon - LAG(lon) OVER w > 180.0 THEN -360.0
+              WHEN lon - LAG(lon) OVER w < -180.0 THEN 360.0
+              ELSE 0.0 END AS corr
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+unwrapped AS (
+  SELECT user_id, lon + SUM(corr) OVER (PARTITION BY user_id ORDER BY tus
+                                        ROWS UNBOUNDED PRECEDING) AS lon_unwrapped
+  FROM stepped
+)
+SELECT user_id, ROUND(SUM(lon_unwrapped), 6) AS total_unwrapped,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM unwrapped GROUP BY 1
+""",
+)
+def lon_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        (F.pmod(F.col("value"), F.lit(360.0)) - 180.0).alias("lon"),
+    )
+    u = win.lon_unwrap(e, ["user_id"], F.col("tus"), F.col("lon"))
+    return u.groupBy("user_id").agg(
+        F.round(F.sum("lon_unwrapped"), 6).alias("total_unwrapped"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ====================================================================== J3 ===
+# as-of join: each click picks the latest signup-or-purchase at or before it
+
+@q(
+    "asof_join",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+),
+marks AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+  WHERE event_type IN ('signup', 'purchase')
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       ROUND((SELECT m.value FROM marks m
+              WHERE m.user_id = c.user_id AND m.tus <= c.tus
+              ORDER BY m.tus DESC, m.value DESC LIMIT 1), 6) AS asof_value
+FROM clicks c
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    marks = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("mtus"),
+        F.col("value").alias("asof_value"),
+    )
+    # deterministic tie-break at equal ts: highest value wins (matches oracle)
+    joined = win.asof_join(
+        clicks,
+        marks.withColumnRenamed("mtus", "m_ts"),
+        fact_ts="tus",
+        dim_ts="m_ts",
+        dim_cols=["asof_value"],
+        part_cols=["user_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.round(F.col("asof_value"), 6).alias("asof_value")
+    )
+
+
+# ================================================================ U1/U4 ======
+# multi-tile union + overlap dedup (products.py:2216-2227 TVP dedup)
+
+@q(
+    "union_dedup",
+    """
+WITH a AS (SELECT user_id, event_type, epoch_us(ts) AS tus, value FROM events
+           WHERE event_id % 3 <> 2),
+b AS (SELECT user_id, event_type, epoch_us(ts) AS tus, value FROM events
+      WHERE event_id % 3 <> 0),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+r AS (SELECT user_id, event_type, tus, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, tus
+                                ORDER BY value DESC, event_type ASC) AS rn
+      FROM u)
+SELECT user_id, event_type, tus, ROUND(value, 6) AS value FROM r WHERE rn = 1
+""",
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"), "value"
+    )
+    a = ev.where(F.pmod(F.col("event_id"), F.lit(3)) != 2)
+    b = ev.where(F.pmod(F.col("event_id"), F.lit(3)) != 0)
+    u = a.unionByName(b).drop("event_id")
+    w = Window.partitionBy("user_id", "tus").orderBy(
+        F.col("value").desc(), F.col("event_type").asc()
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "tus", F.round(F.col("value"), 6).alias("value"))
+    )
+
+
+# ====================================================================== A16 ==
+
+@q(
+    "minmax_argmin",
+    """
+SELECT source,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(arg_min(doc_id, n_chars * 1000 + doc_id) AS BIGINT) AS argmin_doc,
+       CAST(arg_max(doc_id, n_chars * 1000 + doc_id) AS BIGINT) AS argmax_doc
+FROM documents GROUP BY 1
+""",
+)
+def minmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # deterministic argmin: the ordering key includes doc_id (no ties)
+    okey = F.col("n_chars") * 1000 + F.col("doc_id")
+    return d.groupBy("source").agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.min_by(F.col("doc_id"), okey).alias("argmin_doc"),
+        F.max_by(F.col("doc_id"), okey).alias("argmax_doc"),
+    )
+
+
+# ====================================================================== O4 ===
+
+@q(
+    "topk_per_group",
+    """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rnk FROM r WHERE rnk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode sandbox proxy for a multi-executor cluster: parallelism comes from
+``local[N]`` threads; the same configs (AQE, Arrow batching, shuffle partition
+count) are what we would set cluster-side. Arrow batch size mirrors the
+reference's 100k-row chunking (reference: src/SWOTRaster/products.py:63).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 100_000  # reference DEFAULT_MAX_CHUNK_SIZE (products.py:63)
+
+
+def get_spark(
+    cpus: int | None = None,
+    app_name: str = "raster_processor_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    cpus=None → local[*]. shuffle_partitions defaults to 2x cpus (the
+    reference's own fan-out heuristic is 4x workers, raster_proc.py:714-716;
+    2x is the sweet spot for local shuffles on this host).
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(cpus_env) if cpus_env else os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ANSI off: the engine relies on wrap-around-free modular arithmetic it
+        # controls itself, and NULL-on-bad-cast matches the reference's masked
+        # array semantics (invalid → masked, products.py get_mask).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
