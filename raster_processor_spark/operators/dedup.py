@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over the documents table:
+  * exact          — hash-groupBy on the full text (keep min id)
+  * ngram Jaccard  — exact 3-word-shingle Jaccard via inverted-index self-join
+  * MinHash + LSH  — shingle → minhash signature → band buckets → candidate
+                     join → exact-Jaccard verify (the scale path: candidates
+                     only, never all-pairs)
+  * SimHash        — 16-bit bit-majority fingerprint per document
+
+All arithmetic (vocab ids, shingle ids, permutation hashes) is integer and
+deterministic, so each operator has a bit-exact DuckDB oracle twin. At
+10^12-doc scale: the tokenize/shingle stage is narrow (no shuffle); vocab is
+a broadcast dim; the LSH band join shuffles only (band, bucket) keys and the
+verify join only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# LCG-style permutation constants for minhash (public-domain classics)
+MINHASH_PERMS: list[tuple[int, int, int]] = [
+    (0, 1103515245, 12345),
+    (1, 214013, 2531011),
+    (2, 69069, 362437),
+    (3, 134775813, 1),
+    (4, 22695477, 1),
+    (5, 1664525, 1013904223),
+    (6, 48271, 0),
+    (7, 16807, 0),
+]
+MERSENNE31 = 2147483647
+SIMHASH_A, SIMHASH_B, SIMHASH_BITS = 69069, 362437, 16
+
+PERMS_VALUES_SQL = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"({p}, {a}, {b})" for p, a, b in MINHASH_PERMS)
+    + ") AS p(pid, a, b))"
+)
+
+# shared shingle CTE prologue (DuckDB twin of shingles())
+SHINGLES_CTE_SQL = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, UNNEST(ws) AS word,
+               UNNEST(generate_series(1, len(ws))) AS i FROM w),
+vocab AS (SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid
+          FROM (SELECT DISTINCT word FROM tok)),
+nv AS (SELECT COUNT(*) AS nvocab FROM vocab),
+tw AS (SELECT t.doc_id, t.i, vb.wid FROM tok t JOIN vocab vb ON t.word = vb.word),
+sh0 AS (
+  SELECT doc_id,
+         wid * (SELECT nvocab FROM nv) * (SELECT nvocab FROM nv)
+         + LEAD(wid, 1) OVER (PARTITION BY doc_id ORDER BY i) * (SELECT nvocab FROM nv)
+         + LEAD(wid, 2) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+  FROM tw
+),
+sh AS (SELECT DISTINCT doc_id, sid FROM sh0 WHERE sid IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1)
+"""
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, word) with 0-based position (ordering is what matters)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    return d.select("doc_id", F.posexplode("ws").alias("i", "word"))
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, sid) 3-word shingle ids via a derived vocab.
+
+    The vocab row_number uses a single-partition window — the vocab is a
+    dimension (31 distinct words here; at scale you'd keep it a broadcast
+    dim table built once)."""
+    tok = tokens(spark, sf_dir)
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("nvocab"))
+    tw = (
+        tok.join(F.broadcast(vocab), "word")
+        .select("doc_id", "i", "wid")
+        .crossJoin(F.broadcast(nv))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sid = (
+        F.col("wid") * F.col("nvocab") * F.col("nvocab")
+        + F.lead("wid", 1).over(w) * F.col("nvocab")
+        + F.lead("wid", 2).over(w)
+    )
+    return (
+        tw.select("doc_id", sid.alias("sid"))
+        .where(F.col("sid").isNotNull())
+        .distinct()
+    )
+
+
+def _sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+
+
+def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from the shingle inverted index; optionally
+    restricted to an LSH candidate set (semi join)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sid")
+    common = (
+        a.join(b, "sid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sizes = _sizes(sh)
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ns", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ns", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted index, no all-pairs)."""
+    sh = shingles(spark, sf_dir)
+    return _jaccard_pairs(sh, None).where(F.col("jaccard") >= tau)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, pid, mh): minhash under each permutation."""
+    spark = sh.sparkSession
+    perms = spark.createDataFrame(MINHASH_PERMS, "pid INT, a BIGINT, b BIGINT")
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "pid")
+        .agg(F.min(F.pmod(F.col("a") * F.col("sid") + F.col("b"), F.lit(MERSENNE31))).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band join (1 row/band here — small corpus;
+    raise rows/band at scale) then exact-Jaccard verify on candidates only."""
+    sh = shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    s1 = sig.select(F.col("doc_id").alias("doc_a"), "pid", "mh")
+    s2 = sig.select(F.col("doc_id").alias("doc_b"), "pid", "mh")
+    cand = (
+        s1.join(s2, ["pid", "mh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, cand).where(F.col("jaccard") >= tau)
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit b = majority of hash-bit b over
+    shingles (+1/−1 sum)."""
+    sh = shingles(spark, sf_dir)
+    h = F.pmod(F.lit(SIMHASH_A) * F.col("sid") + F.lit(SIMHASH_B), F.lit(1 << SIMHASH_BITS))
+    hashed = sh.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agged = hashed.groupBy("doc_id").agg(*bit_sums)
+    word = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        word = term if word is None else word + term
+    return agged.select("doc_id", word.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------- SQL oracle twins --
+
+def ngram_jaccard_sql(tau: float) -> str:
+    return f"""
+WITH {SHINGLES_CTE_SQL},
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
+"""
+
+
+def minhash_lsh_sql(tau: float) -> str:
+    return f"""
+WITH {SHINGLES_CTE_SQL},
+perms AS (SELECT * FROM {PERMS_VALUES_SQL}),
+sig AS (SELECT doc_id, pid, MIN((a * sid + b) % {MERSENNE31}) AS mh
+        FROM sh CROSS JOIN perms GROUP BY 1, 2),
+cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         FROM sig s1 JOIN sig s2 ON s1.pid = s2.pid AND s1.mh = s2.mh
+                      AND s1.doc_id < s2.doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+           JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
+"""
+
+
+def simhash_sql() -> str:
+    m = 1 << SIMHASH_BITS
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (CAST(FLOOR(h / {1 << b}.0) AS BIGINT) % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    word = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {SHINGLES_CTE_SQL},
+hashed AS (SELECT doc_id, ({SIMHASH_A} * sid + {SIMHASH_B}) % {m} AS h FROM sh),
+agged AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM agged
+"""

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All built-in expressions (JVM-side,
+whole-stage codegen) with bit-exact DuckDB twins — no UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a"]
+FP_MOD = 2147483647
+FP_POWERS = [pow(31, i, FP_MOD) for i in range(16)]  # cyclic position weights
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char/stopword stats + a quality score + lang heuristic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("ws")
+    )
+    n_tokens = F.size("ws")
+    n_distinct = F.size(F.array_distinct("ws"))
+    stop_hits = F.size(F.filter("ws", lambda w: w.isin(STOPWORDS)))
+    # single-spaced text → char count excluding separators
+    avg_wlen = (F.col("n_chars") - (n_tokens - 1)).cast("double") / n_tokens
+    quality = (
+        n_distinct.cast("double") / n_tokens
+        + F.when(stop_hits > 0, 0.5).otherwise(0.0)
+    )
+    lang_pred = F.when(stop_hits > 0, F.lit("en")).otherwise(F.lit("unk"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        stop_hits.alias("stop_hits"),
+        avg_wlen.alias("avg_word_len"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+    )
+
+
+def text_stats_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, n_chars,
+         len(ws) AS n_tokens,
+         len(list_distinct(ws)) AS n_distinct,
+         len(list_filter(ws, w -> w IN ({stop}))) AS stop_hits
+  FROM d
+)
+SELECT doc_id, n_tokens, n_distinct, stop_hits,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
+       CAST(n_distinct AS DOUBLE) / n_tokens
+         + (CASE WHEN stop_hits > 0 THEN 0.5 ELSE 0.0 END) AS quality,
+       (CASE WHEN stop_hits > 0 THEN 'en' ELSE 'unk' END) AS lang_pred
+FROM s
+"""
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return d.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def token_count_by_source_sql() -> str:
+    return """
+SELECT source,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over vocab word-ids with cyclic
+    position weights 31^(i mod 16) mod M — deterministic integer arithmetic
+    (the windowed analogue of a content-defined rolling hash)."""
+    from raster_processor_spark.operators.dedup import tokens
+
+    tok = tokens(spark, sf_dir)
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
+    )
+    powers = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(FP_POWERS)], "imod INT, pw BIGINT"
+    )
+    tw = (
+        tok.join(F.broadcast(vocab), "word")
+        .withColumn("imod", F.pmod(F.col("i"), F.lit(16)).cast("int"))
+        .join(F.broadcast(powers), "imod")
+    )
+    return tw.groupBy("doc_id").agg(
+        F.pmod(F.sum(F.col("wid") * F.col("pw")), F.lit(FP_MOD)).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def doc_fingerprint_sql() -> str:
+    powers = ", ".join(f"({i}, {p})" for i, p in enumerate(FP_POWERS))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, UNNEST(ws) AS word,
+               UNNEST(generate_series(1, len(ws))) AS i FROM w),
+vocab AS (SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid
+          FROM (SELECT DISTINCT word FROM tok)),
+powers AS (SELECT * FROM (VALUES {powers}) AS p(imod, pw)),
+tw AS (SELECT t.doc_id, vb.wid, pw.pw
+       FROM tok t JOIN vocab vb ON t.word = vb.word
+       JOIN powers pw ON pw.imod = (t.i - 1) % 16)
+SELECT doc_id,
+       SUM(wid * pw) % {FP_MOD} AS fingerprint,
+       COUNT(*) AS n_tokens
+FROM tw GROUP BY 1
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: keep the smallest doc_id per distinct text, report
+    group size (hash-groupBy dedup; at scale group by xxhash64(text) first,
+    verify on collision)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""

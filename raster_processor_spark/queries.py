@@ -756,3 +756,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("lang", "doc_id", "n_chars", "rnk")
     )
+
+
+# -------------------------------------------------------- pipeline queries ---
+# dedup / similarity / text registrations live in queries_pipeline.py; the
+# import populates REGISTRY as a side effect.
+from raster_processor_spark import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,69 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+Registered into the main REGISTRY (imported from queries.py at module end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from raster_processor_spark.operators import dedup as dd
+from raster_processor_spark.operators import similarity as sim
+from raster_processor_spark.operators import text as tx
+from raster_processor_spark.queries import q
+
+NGRAM_TAU = 0.8
+LSH_TAU = 0.3
+COSINE_DUP_TAU = 0.45
+ANN_K = 10
+ANN_QUERY_MOD = 25
+
+
+@q("dedup_exact", tx.dedup_exact_sql())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.dedup_exact(spark, sf_dir)
+
+
+@q("dedup_ngram_jaccard", dd.ngram_jaccard_sql(NGRAM_TAU))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(spark, sf_dir, NGRAM_TAU)
+
+
+@q("dedup_minhash_lsh", dd.minhash_lsh_sql(LSH_TAU))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(spark, sf_dir, LSH_TAU)
+
+
+@q("dedup_simhash", dd.simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(spark, sf_dir)
+
+
+@q("dedup_embedding_cosine", sim.embedding_near_dup_sql(COSINE_DUP_TAU))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(spark, sf_dir, COSINE_DUP_TAU)
+
+
+@q("ann_cosine_topk", sim.ann_brute_topk_sql(ANN_K, ANN_QUERY_MOD))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_brute_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)
+
+
+@q("ann_ivf_topk", None)  # approximate by construction → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_ivf_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)
+
+
+@q("text_stats", tx.text_stats_sql())
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(spark, sf_dir)
+
+
+@q("token_count_by_source", tx.token_count_by_source_sql())
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count_by_source(spark, sf_dir)
+
+
+@q("doc_fingerprint", tx.doc_fingerprint_sql())
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_fingerprint(spark, sf_dir)

@@ -50,6 +50,8 @@ def test_oracle_parity(spark, duck, name):
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), f"{name}: rows {len(s_rows)} vs {len(d_rows)}"
+    # empty==empty parity is a false signal — every gate query must match rows
+    assert len(s_rows) > 0, f"{name}: empty result at sf0.01"
     sn = _normalize(s_rows, s_cols)
     dn = _normalize(d_rows, d_cols)
     if sn != dn:
