@@ -62,9 +62,16 @@ sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1)
 
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, word) with 0-based position (ordering is what matters)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    """(doc_id, i, word) with 0-based position (ordering is what matters).
+
+    Repartitions by doc_id up front: the documents table is typically a
+    single parquet file at test scale, and everything downstream (shingle
+    windows, signature groupBys) partitions by doc_id anyway — one shuffle
+    here feeds them all."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return d.select("doc_id", F.posexplode("ws").alias("i", "word"))
 

@@ -1,0 +1,112 @@
+"""Multimodal (image) operators: decode / feature-extract over opaque binary
+columns via Arrow-batched mapInPandas — the Spark-side plumbing (schema,
+batching, partitioning) is real; the pixel math is the from-scratch numpy
+codec (codec.py). External decode libraries are absent in this container and
+stubbed behind NotImplementedError in codec.decode.
+
+Reference analogue: the pixel values the SWOT processor aggregates are
+already-decoded radar samples; here decode happens inside the engine
+(north star: "zonal aggregation (mean/sum/count of decoded pixel blocks per
+polygon)").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster_processor_spark import codec
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("px_mean", T.DoubleType(), False),
+        T.StructField("px_std", T.DoubleType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("phash_check", T.LongType(), False),
+    ]
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Per-image decoded-pixel statistics.
+
+    Iterator-of-batches mapInPandas: one decode pass per Arrow batch, numpy
+    per image (ragged shapes prevent full vectorization across images; the
+    per-image ops are vectorized numpy)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "image_id", "px_mean", "px_std", "px_min", "px_max",
+                "n_bytes", "phash_check",
+            )}
+            for iid, buf, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = codec.decode(buf, int(w), int(h), fmt)
+                m, s, lo, hi = codec.pixel_stats(px)
+                out["image_id"].append(iid)
+                out["px_mean"].append(m)
+                out["px_std"].append(s)
+                out["px_min"].append(lo)
+                out["px_max"].append(hi)
+                out["n_bytes"].append(len(buf))
+                out["phash_check"].append(codec.phash64(px))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("thumb", T.BinaryType(), False),
+        T.StructField("tw", T.IntegerType(), False),
+        T.StructField("th", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_thumbs(images: DataFrame, target: int = 8) -> DataFrame:
+    """Nearest-neighbor resize to target x target (pure-numpy strided
+    sampling), re-encoded raw — the decode→transform→re-encode plumbing a
+    multimodal pipeline needs."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"image_id": [], "thumb": [], "tw": [], "th": []}
+            for iid, buf, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = codec.decode(buf, int(w), int(h), fmt)
+                ys = (np.arange(target) * h // target).astype(int)
+                xs = (np.arange(target) * w // target).astype(int)
+                thumb = px[np.ix_(ys, xs)]
+                out["image_id"].append(iid)
+                out["thumb"].append(codec.encode(thumb, "raw"))
+                out["tw"].append(target)
+                out["th"].append(target)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+def with_georef(images: DataFrame) -> DataFrame:
+    """Georeference image rows from phash (FIXTURES.md F1 derived lat/lon)."""
+    from raster_processor_spark import geo
+
+    key = F.pmod(F.col("phash"), F.lit(1_000_003))
+    return images.withColumn("lat", geo.lat_col(key)).withColumn(
+        "lon", geo.lon_col(key)
+    )

@@ -35,23 +35,82 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Dimension-ordered accumulation: acc = ((0 + p_1) + p_2) + ... — the
+    same FP operation sequence as the SQL left-fold, vectorized across pairs
+    (a: (na, d), b: (nb, d)) → (na, nb). np.dot would use pairwise/SIMD
+    summation and break bit-parity with the oracle."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i][:, None] * b[:, i][None, :]
+    return acc
+
+
+def _seq_norm2(a: np.ndarray) -> np.ndarray:
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * a[:, i]
+    return acc
+
+
 def ann_brute_topk(
     spark: SparkSession, sf_dir: str, k: int, query_mod: int
 ) -> DataFrame:
     """Exact cosine top-k for the query subset (vec_id % query_mod == 0).
 
-    The query side is broadcast; the corpus side streams — at scale this is
-    the one-pass exact baseline every ANN variant is validated against."""
+    The query matrix is tiny and broadcast (closure); the corpus streams
+    through an Arrow-batched pandas UDF that emits only each batch's local
+    top-k per query (a correct superset of the global top-k), then one
+    window ranks globally. FP semantics bit-match the SQL fold (_seq_dot)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qs = e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    q_rows = (
+        e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+        .orderBy("vec_id")
+        .collect()
     )
-    ns = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    pairs = F.broadcast(qs).crossJoin(ns).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cosine", cosine_col(F.col("qe"), F.col("ne")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(_seq_norm2(qm))
+
+    schema = "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+
+    def topk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = _seq_dot(qm, nm)  # (nq, nb)
+            nn = np.sqrt(_seq_norm2(nm))
+            cos = dots / (qn[:, None] * nn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                mask = nids != qids[qi]
+                cand_ids = nids[mask]
+                cand_cos = cos[qi][mask]
+                # batch-local top-k with the global tie order (-cos, id)
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_cos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    # the corpus often arrives as one parquet file → fan out before the UDF
+    par = spark.sparkContext.defaultParallelism
+    local = (
+        e.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(topk_batches, schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -762,3 +762,146 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup / similarity / text registrations live in queries_pipeline.py; the
 # import populates REGISTRY as a side effect.
 from raster_processor_spark import queries_pipeline  # noqa: E402,F401
+
+
+# ====================================================================== P5 ===
+# degraded fallback: per-cell conditional set switching via window count
+# (raster_proc.py:654-684) — cells with < thresh good rows admit degraded rows
+
+@q(
+    "degraded_fallback",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+cells AS (SELECT key, {CELL7_SQL} AS cell_id, classification, height, qual_word
+          FROM pts),
+flagged AS (
+  SELECT *,
+         (qual_word % 4 < 2) AS is_good_sus,
+         (qual_word % 4 = 2) AS is_degraded,
+         SUM(CASE WHEN qual_word % 4 < 2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cell_id) AS n_gs
+  FROM cells
+),
+kept AS (
+  SELECT * FROM flagged
+  WHERE CASE WHEN n_gs >= 4 THEN is_good_sus ELSE (is_good_sus OR is_degraded) END
+)
+SELECT cell_id, COUNT(*) AS n_used,
+       SUM(CASE WHEN is_degraded THEN 1 ELSE 0 END) AS n_degraded_used
+FROM kept GROUP BY 1
+""",
+)
+def degraded_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+        "key", "cell_id", "classification", "height", "qual_word"
+    )
+    good_sus = F.pmod(F.col("qual_word"), F.lit(4)) < 2
+    degraded = F.pmod(F.col("qual_word"), F.lit(4)) == 2
+    kept = agg.degraded_fallback_filter(pts, "cell_id", good_sus, degraded, 4)
+    return kept.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.when(degraded, 1).otherwise(0)).alias("n_degraded_used"),
+    )
+
+
+# ============================================================= grouping sets =
+# multi-dimensional rollup (SURVEY §2.4 note: cube over categorical dims)
+
+@q(
+    "cube_agg",
+    """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# ====================================================================== U3 ===
+# mask difference semantics: cells only in A (anti), only in B, in both
+# (plot_raster_stats.py:242-255 common/uncommon masks as join types)
+
+@q(
+    "mask_anti_join",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+a AS (SELECT DISTINCT {CELL7_SQL} AS cell_id FROM pts WHERE key % 3 = 0),
+b AS (SELECT DISTINCT {CELL7_SQL} AS cell_id FROM pts WHERE key % 3 = 1)
+SELECT cell_id, 'only_a' AS side FROM a WHERE cell_id NOT IN (SELECT cell_id FROM b)
+UNION ALL
+SELECT cell_id, 'only_b' AS side FROM b WHERE cell_id NOT IN (SELECT cell_id FROM a)
+UNION ALL
+SELECT a.cell_id, 'common' AS side FROM a JOIN b ON a.cell_id = b.cell_id
+""",
+)
+def mask_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    a = pts.where(F.pmod(F.col("key"), F.lit(3)) == 0).select("cell_id").distinct()
+    b = pts.where(F.pmod(F.col("key"), F.lit(3)) == 1).select("cell_id").distinct()
+    only_a = a.join(b, "cell_id", "left_anti").withColumn("side", F.lit("only_a"))
+    only_b = b.join(a, "cell_id", "left_anti").withColumn("side", F.lit("only_b"))
+    common = a.join(b, "cell_id", "left_semi").withColumn("side", F.lit("common"))
+    return only_a.unionByName(only_b).unionByName(common)
+
+
+# ====================================================================== A18 ==
+# error metrics (metrics.py:33-86): mean/std/|e|68pct/e50pct per group.
+# std via explicit exact integer sums (stddev()'s streaming intermediates
+# differ across engines); percentiles are exact-interpolation in both.
+
+@q(
+    "error_metrics",
+    """
+SELECT source,
+       COUNT(*) AS n,
+       SUM(n_chars - 300) / COUNT(*) AS mean_e,
+       sqrt((SUM((n_chars - 300) * (n_chars - 300))
+             - SUM(n_chars - 300) * SUM(n_chars - 300) / COUNT(*)) / (COUNT(*) - 1))
+         AS std_e,
+       quantile_cont(abs(n_chars - 300), 0.68) AS abs_e_68,
+       quantile_cont(n_chars - 300, 0.5) AS e_50
+FROM documents GROUP BY 1
+""",
+)
+def error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = (F.col("n_chars") - 300).cast("double")
+    n = F.count(F.lit(1))
+    se = F.sum(e)
+    se2 = F.sum(e * e)
+    return d.groupBy("source").agg(
+        n.alias("n"),
+        (se / n).alias("mean_e"),
+        F.sqrt((se2 - se * se / n) / (n - 1)).alias("std_e"),
+        F.percentile(F.abs(e), F.lit(0.68)).alias("abs_e_68"),
+        F.percentile(e, F.lit(0.5)).alias("e_50"),
+    )
+
+
+# ====================================================================== W3 ===
+# median-tile selection (products.py:1744-1748): the row whose value is the
+# exact 'nearest' percentile member — min_by over distance to the median
+
+@q(
+    "median_tile_select",
+    """
+WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY 1)
+SELECT d.lang AS lang,
+       CAST(arg_min(d.doc_id, abs(d.n_chars - m.med) * 1000000 + d.doc_id) AS BIGINT)
+         AS central_doc
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY 1
+""",
+)
+def median_tile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    j = d.join(med, "lang")
+    okey = F.abs(F.col("n_chars") - F.col("med")) * 1000000 + F.col("doc_id")
+    return j.groupBy("lang").agg(F.min_by("doc_id", okey).alias("central_doc"))

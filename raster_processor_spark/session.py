@@ -12,7 +12,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 100_000  # reference DEFAULT_MAX_CHUNK_SIZE (products.py:63)
+# The reference chunks 100k rows (products.py:63) — but its rows are a few
+# numeric columns. Engine rows carry ~4KB image payloads, and outsized Arrow
+# batches of binary columns thrash JVM↔Python transfer (measured: 100k-row
+# batches = 31 s to stream 766 MB to workers; 1k-row ≈ 4 MB batches = 4.2 s,
+# at parquet-scan speed). Batch by bytes, not rows.
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(

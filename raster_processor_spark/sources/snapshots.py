@@ -1,0 +1,183 @@
+"""Snapshot/checkpoint layer with per-partition lineage — Iceberg-style
+semantics (immutable snapshots, manifest metadata, atomic latest-pointer)
+over plain parquet, since no Iceberg runtime jar ships in this sandbox. The
+API is deliberately shaped so a real Iceberg catalog drops in behind it.
+
+Layout:
+    <root>/<table>/snap-<id>/data.parquet/   immutable snapshot data
+    <root>/<table>/snap-<id>/manifest.json   row counts + per-partition
+                                             lineage (cell range, rows,
+                                             bytes) + metrics
+    <root>/<table>/_latest                   atomic pointer (rename commit)
+
+North-rule contract: "resumable from checkpoint with per-partition lineage
+(input cell range, row counts, bytes decoded) and metrics emitted per
+commit" — `SnapshotStore.write` records exactly that, and `resume_or_compute`
+is the stage-level resume primitive.
+
+Reference analogue: the optional intermediate raster write
+(l2pixc_to_raster.py:232-237) is the reference's only checkpoint; here every
+stage is one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- paths ---
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _snap_dir(self, table: str, snap_id: str) -> str:
+        return os.path.join(self._table_dir(table), f"snap-{snap_id}")
+
+    def latest_snapshot(self, table: str) -> str | None:
+        ptr = os.path.join(self._table_dir(table), "_latest")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return f.read().strip() or None
+
+    def manifest(self, table: str, snap_id: str | None = None) -> dict | None:
+        snap_id = snap_id or self.latest_snapshot(table)
+        if snap_id is None:
+            return None
+        path = os.path.join(self._snap_dir(table, snap_id), "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------- write ---
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        lineage_cols: dict[str, str] | None = None,
+        metrics: dict | None = None,
+    ) -> str:
+        """Commit ``df`` as a new immutable snapshot; returns the snapshot id.
+
+        lineage_cols maps roles to column names, e.g. {"cell": "cell_id",
+        "bytes": "n_bytes"} → the manifest records per-partition min/max cell
+        (the input cell range), row counts, and bytes processed.
+        """
+        snap_id = uuid.uuid4().hex[:12]
+        sdir = self._snap_dir(table, snap_id)
+        data_dir = os.path.join(sdir, "data.parquet")
+        df.write.mode("errorifexists").parquet(data_dir)
+
+        # per-partition lineage from the committed parquet FOOTERS: row
+        # counts from file metadata, cell range from column statistics,
+        # bytes from column sums when cheap — zero extra Spark jobs, so the
+        # checkpoint layer adds no serial driver work (this was measurable:
+        # one lineage job per stage capped scaling efficiency)
+        spark = df.sparkSession
+        lineage_cols = lineage_cols or {}
+        partitions = self._footer_lineage(data_dir, lineage_cols)
+        if "bytes" in lineage_cols:
+            # exact bytes per committed file: one small agg over the (narrow)
+            # committed stats — footers don't store column sums
+            b = lineage_cols["bytes"]
+            by_file = {
+                os.path.basename(r["f"]): r["bytes"]
+                for r in spark.read.parquet(data_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.sum(b).alias("bytes"))
+                .collect()
+            }
+            for entry in partitions:
+                entry["bytes"] = by_file.get(entry["file"], 0)
+        manifest = {
+            "snapshot_id": snap_id,
+            "table": table,
+            "parent": self.latest_snapshot(table),
+            "created_unix": time.time(),
+            "row_count": int(sum(p["rows"] for p in partitions)),
+            "n_partitions": len(partitions),
+            "partitions": partitions,
+            "metrics": metrics or {},
+            "schema": df.schema.jsonValue(),
+        }
+        with open(os.path.join(sdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+
+        # atomic commit: write pointer to temp file then rename
+        tdir = self._table_dir(table)
+        tmp = os.path.join(tdir, f"_latest.tmp.{uuid.uuid4().hex[:6]}")
+        with open(tmp, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(tdir, "_latest"))
+        return snap_id
+
+    @staticmethod
+    def _footer_lineage(data_dir: str, lineage_cols: dict[str, str]) -> list[dict]:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        files = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        for pid, path in enumerate(files):
+            md = pq.ParquetFile(path).metadata
+            entry: dict = {"_pid": pid, "rows": md.num_rows, "file": os.path.basename(path)}
+            if lineage_cols:
+                schema_names = md.schema.names
+                idx = {name: i for i, name in enumerate(schema_names)}
+                cell = lineage_cols.get("cell")
+                cmin = cmax = None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    if cell and cell in idx:
+                        st = g.column(idx[cell]).statistics
+                        if st is not None and st.has_min_max:
+                            cmin = st.min if cmin is None else min(cmin, st.min)
+                            cmax = st.max if cmax is None else max(cmax, st.max)
+                if cell:
+                    entry["cell_min"] = cmin
+                    entry["cell_max"] = cmax
+            out.append(entry)
+        return out
+
+    # -------------------------------------------------------------- read ---
+    def read(self, spark: SparkSession, table: str, snap_id: str | None = None) -> DataFrame:
+        snap_id = snap_id or self.latest_snapshot(table)
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshot for table {table!r}")
+        return spark.read.parquet(os.path.join(self._snap_dir(table, snap_id), "data.parquet"))
+
+    def has(self, table: str) -> bool:
+        return self.latest_snapshot(table) is not None
+
+    # ------------------------------------------------------------ resume ---
+    def resume_or_compute(
+        self,
+        spark: SparkSession,
+        table: str,
+        compute,
+        lineage_cols: dict[str, str] | None = None,
+        metrics: dict | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """The stage-level checkpoint primitive: return the committed
+        snapshot if one exists (resume), else compute → commit → read back.
+        Reading back the committed files makes downstream stages consume the
+        checkpoint, not the live plan (cheap re-scan, no recompute on
+        lineage replay)."""
+        if not force and self.has(table):
+            return self.read(spark, table)
+        df = compute()
+        self.write(df, table, lineage_cols=lineage_cols, metrics=metrics)
+        return self.read(spark, table)

@@ -1,0 +1,58 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI:
+broadcasts stay broadcasts, filters reach the scan, fused aggs shuffle once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster_processor_spark.queries import REGISTRY, pixc_points, with_cell
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_broadcasts_cover_table(spark):
+    df = REGISTRY["pip_join"].spark(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    d = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").where(
+        (F.col("l_quantity") > 25) & F.col("l_returnflag").isNotNull()
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(d)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,25" in plan
+    # column pruning: the scan must read only the referenced columns
+    assert "ReadSchema" in plan and "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def test_fused_cell_agg_single_shuffle(spark):
+    df = REGISTRY["wse_weighted_mean"].spark(spark, SF_ORACLE)
+    plan = _plan(df)
+    # one Exchange for the groupBy — partial/final hash agg, no extra shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_cell_assign_is_arrow_batched(spark):
+    pts = with_cell(pixc_points(spark, SF_ORACLE), 7)
+    plan = _plan(pts)
+    assert "ArrowEvalPython" in plan  # pandas UDF, not row-at-a-time PythonUDF
+
+
+def test_kernel_agg_plan_shape(spark):
+    """The qual roll-up must run as JVM partial/final hash aggregation with
+    Arrow-batched cell encode and a pruned scan — the codegen'd shape (Spark
+    4's plan string omits WholeStageCodegen markers; assert structure)."""
+    df = REGISTRY["qual_rollup"].spark(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "ArrowEvalPython" in plan  # vectorized UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    # scan pruned to exactly the consumed lineitem columns
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_quantity" not in read_schema and "l_shipdate" not in read_schema

@@ -1,0 +1,55 @@
+"""Streaming façade tests: session windows must agree with the batch
+gap-sessionization operator on the same data."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from raster_processor_spark.operators import windows as win
+from raster_processor_spark.streaming import jobs
+from tests.conftest import SF_ORACLE
+
+
+def _stage_input(tmp_path):
+    src = f"{SF_ORACLE}/events.parquet"
+    dst = tmp_path / "stream_in"
+    dst.mkdir()
+    shutil.copy(src, dst / "part-0.parquet")
+    return str(dst)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    input_dir = _stage_input(tmp_path)
+    sdf = jobs.streaming_sessionize(spark, input_dir, gap="1 hour")
+    jobs.run_to_memory(sdf, "sess_stream")
+    got = (
+        spark.table("sess_stream")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    got_rows = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    batch = win.gap_sessionize(e, ["user_id"], F.col("tus"), 3_600_000_000)
+    want = (
+        batch.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+    want_rows = {r.user_id: (r.n_sessions, r.n_events) for r in want.collect()}
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+
+def test_streaming_cell_rollup_runs(spark, tmp_path):
+    input_dir = _stage_input(tmp_path)
+    sdf = jobs.streaming_cell_rollup(spark, input_dir)
+    jobs.run_to_memory(sdf, "roll_stream")
+    out = spark.table("roll_stream")
+    assert out.count() > 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    assert total == n_events  # watermark drops nothing with availableNow drain
