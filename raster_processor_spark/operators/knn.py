@@ -10,17 +10,19 @@ for grid-index kNN on Spark):
      (quadcells are square in degrees, so a Chebyshev ring R bounds
      euclidean distance: any point outside disk(R) is > R*s away);
   2. for ring radius R in an escalating schedule: explode each unresolved
-     query's disk(R) offsets, equi-join candidates on cell id, rank by
-     (dist2, neighbor_key), and accept a query iff it has >= k candidates
-     AND its kth distance < R*s (the correctness guarantee);
+     query's disk(R) offsets, equi-join candidates on cell id, then ONE
+     window pass computes rank, candidate count, and the kth distance —
+     a query is resolved iff it has >= k candidates AND its kth distance is
+     strictly inside R*s (the correctness guarantee);
   3. the unresolved tail (sparse regions) falls back to a broadcast
      brute-force pass — bounded, tiny at scale.
 
 Distance: planar squared degrees (dx*dx + dy*dy) — a single-rounding double
 expression, bit-identical in Spark / DuckDB / numpy, deterministic ties by
-neighbor key. At 10^12 scale the join is an equi-join on cell ids co-located
-by the same partitioning as the tiling output; disk(R) explode multiplies the
-QUERY side only.
+neighbor key. At 10^12 scale the candidate join is an equi-join on cell ids
+co-located by the tiling partitioning; disk(R) explode multiplies the QUERY
+side only, and each ring round is one shuffle (rank/count/kth fuse into a
+single Exchange).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from pyspark.sql import functions as F
 from raster_processor_spark import cellindex as ci
 
 
-def _disk_offsets_df(spark, res: int, ring: int) -> DataFrame:
+def _disk_offsets_df(spark, ring: int) -> DataFrame:
     offs = ci.quad_disk_offsets(ring)
     return spark.createDataFrame(
         [(int(dy), int(dx)) for dy, dx in offs], "dy BIGINT, dx BIGINT"
@@ -44,18 +46,18 @@ def knn_join(
     points: DataFrame,
     k: int,
     res: int | None = None,
-    rings: tuple[int, ...] = (2, 8, 32),
+    rings: tuple[int, ...] = (2, 8),
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
-    ``res`` defaults to a density heuristic: ~1 point per cell.
-    """
+    ``res`` defaults to a density heuristic (~8 points per cell, so ring 2
+    usually resolves in one round)."""
     spark = points.sparkSession
-    pts = points.select("key", "lat", "lon").cache()
+    pts = points.select("key", "lat", "lon")
     n = pts.count()
     if res is None:
-        # 2^(2res+1) cells total; aim cells ≈ n
-        res = max(2, min(12, int(math.log2(max(n, 2)) / 2)))
+        # 2^(2res+1) cells total; aim for ~8 points per cell
+        res = max(2, min(12, int(math.log2(max(n, 16) / 8.0) / 2)))
     s = 180.0 / (1 << res)  # cell size in degrees (square)
 
     ny, nx = 1 << res, 1 << (res + 1)
@@ -69,14 +71,19 @@ def knn_join(
     )
     indexed = pts.withColumn("ybin", ybin).withColumn("xbin", xbin).cache()
     indexed.count()
+    corpus = indexed.select(
+        F.col("key").alias("nkey"),
+        F.col("lat").alias("nlat"),
+        F.col("lon").alias("nlon"),
+        F.col("ybin").alias("nyb"),
+        F.col("xbin").alias("nxb"),
+    )
 
     unresolved = indexed
     accepted: DataFrame | None = None
 
     for ring in rings:
-        if unresolved.isEmpty():
-            break
-        offs = _disk_offsets_df(spark, res, ring)
+        offs = _disk_offsets_df(spark, ring)
         q = unresolved.select(
             F.col("key").alias("qkey"),
             F.col("lat").alias("qlat"),
@@ -92,37 +99,39 @@ def knn_join(
             .where((F.col("nyb") >= 0) & (F.col("nyb") < ny))
             .select("qkey", "qlat", "qlon", "nyb", "nxb")
         )
-        cand = probes.join(
-            indexed.select(
-                F.col("key").alias("nkey"),
-                F.col("lat").alias("nlat"),
-                F.col("lon").alias("nlon"),
-                F.col("ybin").alias("nyb"),
-                F.col("xbin").alias("nxb"),
-            ),
-            ["nyb", "nxb"],
-            "inner",
-        ).where(F.col("qkey") != F.col("nkey"))
+        cand = probes.join(corpus, ["nyb", "nxb"], "inner").where(
+            F.col("qkey") != F.col("nkey")
+        )
         dx = F.col("nlon") - F.col("qlon")
         dy2 = F.col("nlat") - F.col("qlat")
         scored = cand.withColumn("dist2", dx * dx + dy2 * dy2)
-        w = Window.partitionBy("qkey").orderBy(F.col("dist2").asc(), F.col("nkey").asc())
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("qkey", "nkey", "dist2", "rank")
+        # ONE shuffle: rank + count + kth-distance over the same partitioning
+        w_rank = Window.partitionBy("qkey").orderBy(
+            F.col("dist2").asc(), F.col("nkey").asc()
         )
-        # guarantee: kth distance strictly inside the ring radius
-        stats = topk.groupBy("qkey").agg(
-            F.count("*").alias("cnt"), F.max("dist2").alias("maxd2")
-        )
+        w_all = Window.partitionBy("qkey")
         limit = (ring * s) * (ring * s)
-        ok = stats.where((F.col("cnt") >= k) & (F.col("maxd2") < limit)).select("qkey")
-        got = topk.join(F.broadcast(ok), "qkey", "left_semi")
-        accepted = got if accepted is None else accepted.unionByName(got)
-        unresolved = unresolved.join(
-            ok.withColumnRenamed("qkey", "key"), "key", "left_anti"
+        ranked = (
+            scored.withColumn("rank", F.row_number().over(w_rank))
+            .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+            .withColumn(
+                "_kth",
+                F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all),
+            )
+            .withColumn(
+                "_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit)
+            )
         )
+        got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
+            "qkey", "nkey", "dist2", "rank"
+        )
+        accepted = got if accepted is None else accepted.unionByName(got)
+        resolved_keys = (
+            ranked.where(F.col("_ok")).select(F.col("qkey").alias("key")).distinct()
+        )
+        unresolved = unresolved.join(resolved_keys, "key", "left_anti").cache()
+        if unresolved.isEmpty():
+            break
 
     if not unresolved.isEmpty():
         # brute-force tail: broadcast the (small) unresolved query set
@@ -132,11 +141,7 @@ def knn_join(
             F.col("lon").alias("qlon"),
         )
         cand = F.broadcast(q).crossJoin(
-            indexed.select(
-                F.col("key").alias("nkey"),
-                F.col("lat").alias("nlat"),
-                F.col("lon").alias("nlon"),
-            )
+            corpus.select("nkey", "nlat", "nlon")
         ).where(F.col("qkey") != F.col("nkey"))
         dx = F.col("nlon") - F.col("qlon")
         dy2 = F.col("nlat") - F.col("qlat")

@@ -905,3 +905,176 @@ def median_tile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = d.join(med, "lang")
     okey = F.abs(F.col("n_chars") - F.col("med")) * 1000000 + F.col("doc_id")
     return j.groupBy("lang").agg(F.min_by("doc_id", okey).alias("central_doc"))
+
+
+# ====================================================================== P3 ===
+# per-point gather of a per-line flag via broadcast equi-join
+# (products.py:1806-1807 pixc_line_qual[line_index]); lines ≪ points
+
+@q(
+    "line_qual_gather",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+lines AS (SELECT DISTINCT (key % 64) AS line_idx,
+                 CAST(((key % 64) * 37) % 1024 AS BIGINT) AS line_qual
+          FROM pts)
+SELECT {summary_qual_sql('l.line_qual', 7, 56, 448)} AS line_severity,
+       COUNT(*) AS n_points
+FROM pts p JOIN lines l ON (p.key % 64) = l.line_idx
+GROUP BY 1
+""",
+)
+def line_qual_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pixc_points(spark, sf_dir).withColumn(
+        "line_idx", F.pmod(F.col("key"), F.lit(64))
+    )
+    lines = (
+        pts.select("line_idx")
+        .distinct()
+        .withColumn(
+            "line_qual", F.pmod(F.col("line_idx") * 37, F.lit(1024)).cast("long")
+        )
+    )
+    joined = pts.join(F.broadcast(lines), "line_idx")
+    sev = summary_qual_col(F.col("line_qual"), 7, 56, 448)
+    return joined.groupBy(sev.alias("line_severity")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+# ====================================================================== A5 ===
+# height std deweight: σ_h = |phase_noise_std · dh/dφ|, bad → 1e5
+# (raster_agg.py:59-67 height_std_meters semantics)
+
+@q(
+    "height_std_deweight",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+raw AS (
+  SELECT {CELL7_SQL} AS cell_id,
+         (height_var - 0.05) * water_frac AS l
+  FROM pts
+),
+sig AS (
+  SELECT cell_id,
+         (CASE WHEN l IS NULL OR abs(l) <= 0.0 THEN 100000.0
+               ELSE abs(l) END) AS sigma
+  FROM raw
+)
+SELECT cell_id, COUNT(*) AS n_pix,
+       CAST(SUM(CASE WHEN sigma = 100000.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deweighted,
+       SUM(ROUND(sigma * 10000.0)) / 10000.0 AS sigma_sum
+FROM sig GROUP BY 1
+""",
+)
+def height_std_deweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    raw = (F.col("height_var") - 0.05) * F.col("water_frac")
+    sigma = (
+        F.when(F.abs(raw) <= 0.0, F.lit(100000.0))
+        .when(raw.isNull(), F.lit(100000.0))
+        .otherwise(F.abs(raw))
+    )
+    sig = pts.withColumn("sigma", sigma)
+    return sig.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        F.sum(F.when(F.col("sigma") == 100000.0, 1).otherwise(0)).alias("n_deweighted"),
+        (F.sum(F.round(F.col("sigma") * 10000.0)) / 10000.0).alias("sigma_sum"),
+    )
+
+
+# ====================================================================== A7 ===
+# uncertainty propagation: σ_cell = sqrt(Σ σ²·w²) / Σw with integer weights
+# (raster_agg.py:154-179 height_with_uncerts, closed algebraic form)
+
+@q(
+    "height_uncert_propagation",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_pix,
+       sqrt(SUM(ROUND(height_var * 100.0) * height_w * height_w))
+         / SUM(height_w) AS height_u
+FROM pts GROUP BY 1
+""",
+)
+def height_uncert_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    w = F.col("height_w")
+    var_int = F.round(F.col("height_var") * 100.0)  # exact integer double
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        (F.sqrt(F.sum(var_int * w * w)) / F.sum(w)).alias("height_u"),
+    )
+
+
+# ====================================================================== A10 ==
+# sig0 aggregation: mean + propagated uncertainty (raster_agg.py:231-243)
+
+@q(
+    "sig0_agg",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_pix,
+       SUM(ROUND(pixel_area * 10.0)) / COUNT(*) / 10.0 AS sig0_mean,
+       sqrt(SUM(ROUND(water_frac * 100.0) * ROUND(water_frac * 100.0)))
+         / COUNT(*) / 100.0 AS sig0_u
+FROM pts GROUP BY 1
+""",
+)
+def sig0_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    n = F.count(F.lit(1))
+    s_int = F.round(F.col("pixel_area") * 10.0)
+    u_int = F.round(F.col("water_frac") * 100.0)
+    return pts.groupBy("cell_id").agg(
+        n.alias("n_pix"),
+        (F.sum(s_int) / n / 10.0).alias("sig0_mean"),
+        (F.sqrt(F.sum(u_int * u_int)) / n / 100.0).alias("sig0_u"),
+    )
+
+
+# ============================================================== hexcell ======
+# H3-style axial hex assignment with cube rounding, oracle-checked: the SQL
+# twin replays the exact double arithmetic (precomputed irrational constants
+# embedded as repr() literals round-trip bit-exactly)
+
+def _hex_assign_sql(res: int) -> str:
+    import numpy as np
+
+    s3 = repr(float(np.sqrt(3.0) / 3.0))
+    two3 = repr(2.0 / 3.0)
+    size = repr(180.0 / (1 << res))
+    return f"""
+WITH pts AS ({DOC_PTS_SQL}),
+f AS (SELECT key, ({s3} * lon - {repr(1.0 / 3.0)} * lat) / {size} AS qf,
+             ({two3} * lat) / {size} AS rf
+      FROM pts),
+g AS (SELECT key, qf, rf, -qf - rf AS sf,
+             ROUND(qf) AS q0, ROUND(rf) AS r0, ROUND(-qf - rf) AS s0
+      FROM f),
+h AS (SELECT key, q0, r0, s0,
+             abs(q0 - qf) AS dq, abs(r0 - rf) AS dr, abs(s0 - sf) AS ds
+      FROM g),
+fx AS (SELECT key,
+        CASE WHEN dq > dr AND dq > ds THEN -r0 - s0 ELSE q0 END AS q,
+        CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS r
+       FROM h)
+SELECT key,
+       CAST({res} AS BIGINT) * {ci.RES_SHIFT}
+       + (CAST(r AS BIGINT) + {ci.HEX_OFFSET}) * {ci.Y_SHIFT}
+       + (CAST(q AS BIGINT) + {ci.HEX_OFFSET}) AS hexcell
+FROM fx
+"""
+
+
+@q("hex_tile_assign", _hex_assign_sql(7))
+def hex_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_processor_spark.functions.cells import hex_cell_udf
+
+    pts = doc_points(spark, sf_dir)
+    return pts.select(
+        "key", hex_cell_udf(7)(F.col("lat"), F.col("lon")).alias("hexcell")
+    )
