@@ -67,3 +67,36 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("doc_fingerprint", tx.doc_fingerprint_sql())
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_fingerprint(spark, sf_dir)
+
+
+@q("multimodal_decode_stats", None)  # binary decode → rows-only check
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stats over an image table synthesized in-flight from document
+    ids (the driver tables carry no binary column; generation is the same
+    deterministic codec the golden tests pin down)."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark import datagen
+    from raster_processor_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    images = datagen.images_df(spark, n, partitions=8)
+    stats = mm.decode_stats(images)
+    return stats.select(
+        "image_id", "px_mean", "px_std", "px_min", "px_max", "n_bytes"
+    )
+
+
+@q("multimodal_resize", None)  # decode → transform → re-encode plumbing
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark import datagen
+    from raster_processor_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = min(d.count(), 200)
+    images = datagen.images_df(spark, n, partitions=4)
+    thumbs = mm.resize_thumbs(images, target=8)
+    return thumbs.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))

@@ -1,0 +1,55 @@
+"""Skew handling and snapshot-layer semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster_processor_spark import datagen
+from raster_processor_spark.plans.images_pipeline import N_SALT, georef_tiles
+from raster_processor_spark.sources.snapshots import SnapshotStore
+
+
+def test_hot_cells_exist_and_salting_bounds_partitions(spark):
+    """~10% of rows land in a few hot cells by construction; after the
+    salted repartition no single task owns a hot cell."""
+    images = datagen.images_df(spark, 20_000, partitions=16)
+    tiles = georef_tiles(images)
+
+    # skew exists: top cell7 holds >> uniform share
+    top = (
+        tiles.groupBy("cell7").count().orderBy(F.col("count").desc()).limit(1).collect()
+    )[0]
+    n_cells = tiles.select("cell7").distinct().count()
+    assert top["count"] > 5 * (20_000 / n_cells), "hot-cell skew missing"
+
+    # salted repartition: rows of the hot cell spread across many partitions
+    parts = (
+        tiles.repartition(32, "cell7", "salt")
+        .where(F.col("cell7") == top["cell7"])
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(parts) >= min(N_SALT, 8), f"hot cell landed in {len(parts)} partitions"
+    biggest = max(p["count"] for p in parts)
+    assert biggest < top["count"] * 0.5, "salting failed to split the hot cell"
+
+
+def test_snapshot_time_travel_and_parent_chain(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    df1 = spark.range(0, 100).withColumn("v", F.lit(1))
+    df2 = spark.range(0, 50).withColumn("v", F.lit(2))
+    s1 = store.write(df1, "t")
+    s2 = store.write(df2, "t")
+    # latest points to s2; s1 still readable (time travel)
+    assert store.latest_snapshot("t") == s2
+    assert store.read(spark, "t").count() == 50
+    assert store.read(spark, "t", snap_id=s1).count() == 100
+    # parent chain recorded
+    m2 = store.manifest("t", s2)
+    assert m2["parent"] == s1
+    assert store.manifest("t", s1)["parent"] is None
+    # manifests carry metrics + partition lineage rows
+    assert m2["row_count"] == 50
+    assert all(p["rows"] > 0 for p in m2["partitions"])
