@@ -155,8 +155,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """MinHash-LSH near-dup pairs: band join (1 row/band here — small corpus;
-    raise rows/band at scale) then exact-Jaccard verify on candidates only."""
-    sh = shingles(spark, sf_dir)
+    raise rows/band at scale) then exact-Jaccard verify on candidates only.
+
+    The shingle table is consumed four times (signatures, both sides of the
+    verify join, sizes) — cache it once."""
+    sh = shingles(spark, sf_dir).cache()
     sig = minhash_signatures(sh)
     s1 = sig.select(F.col("doc_id").alias("doc_a"), "pid", "mh")
     s2 = sig.select(F.col("doc_id").alias("doc_b"), "pid", "mh")
@@ -237,4 +240,61 @@ WITH {SHINGLES_CTE_SQL},
 hashed AS (SELECT doc_id, ({SIMHASH_A} * sid + {SIMHASH_B}) % {m} AS h FROM sh),
 agged AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM agged
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit fingerprint into 4 nibbles —
+    any pair within Hamming distance <= 3 shares at least one intact nibble
+    (pigeonhole), so the candidate join touches only matching buckets; then
+    verify exact Hamming distance. The standard simhash dedup layout at scale."""
+    sig = simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        nib = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(15)).alias("bucket"),
+        )
+        bands = nib if bands is None else bands.unionByName(nib)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int) -> str:
+    sig = simhash_sql().strip()
+    return f"""
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc_id, simhash, b.band AS band,
+         (CAST(FLOOR(simhash / (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 16
+                                 WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) % 16)
+           AS bucket
+  FROM sig CROSS JOIN (SELECT UNNEST(ARRAY[0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS sh_a, b2.simhash AS sh_b
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """

@@ -100,3 +100,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = datagen.images_df(spark, n, partitions=4)
     thumbs = mm.resize_thumbs(images, target=8)
     return thumbs.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))
+
+
+@q("dedup_simhash_pairs", dd.simhash_pairs_sql(3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(spark, sf_dir, 3)
