@@ -53,3 +53,28 @@ def test_streaming_cell_rollup_runs(spark, tmp_path):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     n_events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
     assert total == n_events  # watermark drops nothing with availableNow drain
+
+
+def test_stateful_operator_matches_batch(spark, tmp_path):
+    from raster_processor_spark.streaming.stateful import stateful_user_stats
+
+    input_dir = _stage_input(tmp_path)
+    sdf = stateful_user_stats(spark, input_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stateful_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user = final running state
+    got_df = spark.table("stateful_stream")
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in got_df.collect()}
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    want_df = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    want = {r.user_id: (r.n, r.s) for r in want_df.collect()}
+    assert got == want and len(got) > 0
