@@ -67,17 +67,25 @@ class SnapshotStore:
         table: str,
         lineage_cols: dict[str, str] | None = None,
         metrics: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> str:
         """Commit ``df`` as a new immutable snapshot; returns the snapshot id.
 
         lineage_cols maps roles to column names, e.g. {"cell": "cell_id",
         "bytes": "n_bytes"} → the manifest records per-partition min/max cell
         (the input cell range), row counts, and bytes processed.
+
+        partition_by writes a hive-partitioned layout (e.g. by a coarse cell
+        prefix) so downstream cell-range predicates prune directories at plan
+        time — the engine's analogue of Iceberg partition pruning.
         """
         snap_id = uuid.uuid4().hex[:12]
         sdir = self._snap_dir(table, snap_id)
         data_dir = os.path.join(sdir, "data.parquet")
-        df.write.mode("errorifexists").parquet(data_dir)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
 
         # per-partition lineage from the committed parquet FOOTERS: row
         # counts from file metadata, cell range from column statistics,
@@ -91,8 +99,10 @@ class SnapshotStore:
             # exact bytes per committed file: one small agg over the (narrow)
             # committed stats — footers don't store column sums
             b = lineage_cols["bytes"]
+            # key by path relative to the snapshot root (basenames collide
+            # across hive partition dirs)
             by_file = {
-                os.path.basename(r["f"]): r["bytes"]
+                r["f"].split("data.parquet/", 1)[-1]: r["bytes"]
                 for r in spark.read.parquet(data_dir)
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(F.sum(b).alias("bytes"))
@@ -129,10 +139,14 @@ class SnapshotStore:
         import pyarrow.parquet as pq
 
         out: list[dict] = []
-        files = sorted(_glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        files = sorted(
+            _glob.glob(os.path.join(data_dir, "part-*.parquet"))
+            or _glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True)
+        )
         for pid, path in enumerate(files):
             md = pq.ParquetFile(path).metadata
-            entry: dict = {"_pid": pid, "rows": md.num_rows, "file": os.path.basename(path)}
+            entry: dict = {"_pid": pid, "rows": md.num_rows,
+                           "file": os.path.relpath(path, data_dir)}
             if lineage_cols:
                 schema_names = md.schema.names
                 idx = {name: i for i, name in enumerate(schema_names)}

@@ -53,3 +53,30 @@ def test_snapshot_time_travel_and_parent_chain(spark, tmp_path):
     # manifests carry metrics + partition lineage rows
     assert m2["row_count"] == 50
     assert all(p["rows"] > 0 for p in m2["partitions"])
+
+
+def test_partitioned_snapshot_prunes_cell_ranges(spark, tmp_path):
+    """Snapshots partitioned by a coarse cell prefix prune directories at
+    plan time for cell predicates (Iceberg-style partition pruning)."""
+    from raster_processor_spark.functions.cells import quad_parent_col
+    from raster_processor_spark.plans.images_pipeline import georef_tiles
+
+    images = datagen.images_df(spark, 5_000, partitions=8)
+    tiles = georef_tiles(images).withColumn(
+        "cell2", quad_parent_col(F.col("cell9"), 9, 2)
+    )
+    store = SnapshotStore(str(tmp_path))
+    store.write(tiles, "tiles_part", lineage_cols={"cell": "cell9"},
+                partition_by=["cell2"])
+    committed = store.read(spark, "tiles_part")
+    some_cell = committed.select("cell2").distinct().limit(1).collect()[0][0]
+    q = committed.where(F.col("cell2") == some_cell)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell2" in plan.split("PartitionFilters")[1]
+    # pruned read touches exactly the rows of that partition dir
+    full = committed.where(F.col("cell2") == some_cell).count()
+    assert q.count() == full > 0
+    # lineage survived the partitioned layout
+    man = store.manifest("tiles_part")
+    assert man["row_count"] == 5_000
+    assert all("/" in p["file"] or "=" in p["file"] for p in man["partitions"])
