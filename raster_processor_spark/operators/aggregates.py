@@ -65,7 +65,9 @@ def dark_frac(
     cls: Column, pixel_area: Column, water_frac: Column,
     dark: list[int], interior: list[int], edge: list[int], alias: str,
 ) -> Column:
-    """Σ dark-class area / composite total area; 0 when no dark pixels
+    """Σ dark-class area / composite total area; 0 when no dark pixels,
+    1 when dark exists but composite area is 0 (all-dark cell) — the zero
+    denominator must be guarded (ANSI mode errors on bare divide-by-zero).
     (raster_agg.py:245-276 aggregate_dark_frac)."""
     dark_area = F.sum(F.when(cls.isin(dark), pixel_area).otherwise(F.lit(0.0)))
     total = F.sum(
@@ -74,7 +76,9 @@ def dark_frac(
         .otherwise(F.lit(0.0))
     )
     return (
-        F.when(dark_area == 0.0, F.lit(0.0)).otherwise(dark_area / total)
+        F.when(dark_area == 0.0, F.lit(0.0))
+        .when(total == 0.0, F.lit(1.0))
+        .otherwise(dark_area / total)
     ).alias(alias)
 
 
@@ -91,7 +95,9 @@ def dark_frac_sql(
         f"WHEN ({cls}) IN ({e}) THEN ({pixel_area}) * ({water_frac}) ELSE 0.0 END)"
     )
     return (
-        f"(CASE WHEN {dark_area} = 0.0 THEN 0.0 ELSE {dark_area} / {total} END) AS {alias}"
+        f"(CASE WHEN {dark_area} = 0.0 THEN 0.0 "
+        f"WHEN {total} = 0.0 THEN 1.0 "
+        f"ELSE {dark_area} / {total} END) AS {alias}"
     )
 
 

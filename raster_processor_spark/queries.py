@@ -379,6 +379,9 @@ FROM pts GROUP BY 1
 """,
 )
 def dark_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cells can hold ONLY dark/land rows (total composite area 0): the
+    # division must be guarded — the driver's session runs Spark 4 with ANSI
+    # mode on, where a bare 0-denominator divide is a runtime error
     pts = with_cell(pixc_points(spark, sf_dir), 7)
     cls = F.col("classification")
     dark_area = F.sum(
@@ -389,11 +392,12 @@ def dark_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls.isin(EDGE), F.col("pixel_area") * F.col("water_frac"))
         .otherwise(F.lit(0.0))
     )
-    return pts.groupBy("cell_id").agg(
-        F.round(
-            F.when(dark_area == 0.0, F.lit(0.0)).otherwise(dark_area / total), 6
-        ).alias("dark_frac")
+    frac = (
+        F.when(dark_area == 0.0, F.lit(0.0))
+        .when(total == 0.0, F.lit(1.0))
+        .otherwise(dark_area / total)
     )
+    return pts.groupBy("cell_id").agg(F.round(frac, 6).alias("dark_frac"))
 
 
 # ====================================================================== A13 ==
@@ -861,9 +865,10 @@ def mask_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        COUNT(*) AS n,
        SUM(n_chars - 300) / COUNT(*) AS mean_e,
-       sqrt((SUM((n_chars - 300) * (n_chars - 300))
-             - SUM(n_chars - 300) * SUM(n_chars - 300) / COUNT(*)) / (COUNT(*) - 1))
-         AS std_e,
+       (CASE WHEN COUNT(*) > 1 THEN
+         sqrt((SUM((n_chars - 300) * (n_chars - 300))
+               - SUM(n_chars - 300) * SUM(n_chars - 300) / COUNT(*)) / (COUNT(*) - 1))
+        ELSE NULL END) AS std_e,
        quantile_cont(abs(n_chars - 300), 0.68) AS abs_e_68,
        quantile_cont(n_chars - 300, 0.5) AS e_50
 FROM documents GROUP BY 1
@@ -878,7 +883,7 @@ def error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         n.alias("n"),
         (se / n).alias("mean_e"),
-        F.sqrt((se2 - se * se / n) / (n - 1)).alias("std_e"),
+        F.when(n > 1, F.sqrt((se2 - se * se / n) / (n - 1))).alias("std_e"),
         F.percentile(F.abs(e), F.lit(0.68)).alias("abs_e_68"),
         F.percentile(e, F.lit(0.5)).alias("e_50"),
     )
