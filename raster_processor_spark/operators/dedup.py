@@ -143,14 +143,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFra
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, pid, mh): minhash under each permutation."""
-    spark = sh.sparkSession
-    perms = spark.createDataFrame(MINHASH_PERMS, "pid INT, a BIGINT, b BIGINT")
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "pid")
-        .agg(F.min(F.pmod(F.col("a") * F.col("sid") + F.col("b"), F.lit(MERSENNE31))).alias("mh"))
-    )
+    """(doc_id, pid, mh): minhash under each permutation.
+
+    All permutation minima fuse into ONE groupBy(doc_id) (no 8x row
+    explosion before the shuffle); the wide signature then unpivots for the
+    band join. Same values as the per-permutation form."""
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(MERSENNE31))).alias(
+            f"mh{p}"
+        )
+        for p, a, b in MINHASH_PERMS
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{p}, mh{p}" for p, _, _ in MINHASH_PERMS)
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({len(MINHASH_PERMS)}, {stack_args}) AS (pid, mh)"),
+    ).select("doc_id", "pid", "mh")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:

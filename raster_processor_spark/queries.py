@@ -1083,3 +1083,43 @@ def hex_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "key", hex_cell_udf(7)(F.col("lat"), F.col("lon")).alias("hexcell")
     )
+
+
+# ====================================================================== J4 ===
+# raster→point feedback: every point fetches its cell's aggregated
+# (weighted-mean) height and overwrites its own — the height-constrained
+# re-geolocation writeback (geoloc_raster.py:42-76 update_heights_from_raster)
+
+@q(
+    "height_feedback",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+assigned AS (SELECT key, height, height_w, {CELL7_SQL} AS cell_id FROM pts),
+cells AS (
+  SELECT cell_id,
+         SUM(ROUND(height * 100000.0) * height_w) / SUM(height_w) / 100000.0
+           AS cell_height
+  FROM assigned GROUP BY 1
+)
+SELECT a.key AS key, c.cell_height AS height_new,
+       (c.cell_height - a.height) AS height_delta
+FROM assigned a JOIN cells c ON a.cell_id = c.cell_id
+""",
+)
+def height_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+        "key", "height", "height_w", "cell_id"
+    )
+    w = F.col("height_w")
+    cells = pts.groupBy("cell_id").agg(
+        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0).alias(
+            "cell_height"
+        )
+    )
+    # the cell table is orders of magnitude smaller than points → broadcast
+    joined = pts.join(F.broadcast(cells), "cell_id")
+    return joined.select(
+        "key",
+        F.col("cell_height").alias("height_new"),
+        (F.col("cell_height") - F.col("height")).alias("height_delta"),
+    )
