@@ -159,7 +159,7 @@ def knn_join(
         F.col("qkey").alias("key"),
         F.col("nkey").alias("neighbor_key"),
         "dist2",
-        "rank",
+        F.col("rank").cast("long").alias("rank"),  # BIGINT like the oracle
     )
 
 

@@ -112,7 +112,8 @@ def ann_brute_topk(
     return (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -231,5 +232,6 @@ def ann_ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
     )

@@ -131,7 +131,7 @@ edges AS (
     ON a.poly_id = b.poly_id AND b.vertex_idx = (a.vertex_idx + 1) % {nv}
 ),
 pts AS ({points_sql})
-SELECT p.key AS key, e.poly_id AS poly_id
+SELECT p.key AS key, CAST(e.poly_id AS BIGINT) AS poly_id
 FROM pts p CROSS JOIN edges e
 GROUP BY p.key, e.poly_id
 HAVING SUM(

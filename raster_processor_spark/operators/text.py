@@ -30,9 +30,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_pred = F.when(stop_hits > 0, F.lit("en")).otherwise(F.lit("unk"))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
-        stop_hits.alias("stop_hits"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        stop_hits.cast("long").alias("stop_hits"),
         avg_wlen.alias("avg_word_len"),
         quality.alias("quality"),
         lang_pred.alias("lang_pred"),

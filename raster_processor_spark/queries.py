@@ -756,7 +756,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (
-        d.withColumn("rnk", F.row_number().over(w))
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("lang", "doc_id", "n_chars", "rnk")
     )
