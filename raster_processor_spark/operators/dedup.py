@@ -8,11 +8,14 @@ Four families over the documents table:
                      only, never all-pairs)
   * SimHash        — 16-bit bit-majority fingerprint per document
 
-All arithmetic (vocab ids, shingle ids, permutation hashes) is integer and
+All arithmetic (word ids, shingle ids, permutation hashes) is integer and
 deterministic, so each operator has a bit-exact DuckDB oracle twin. At
-10^12-doc scale: the tokenize/shingle stage is narrow (no shuffle); vocab is
-a broadcast dim; the LSH band join shuffles only (band, bucket) keys and the
-verify join only candidate pairs.
+10^12-doc scale: the tokenize/shingle stage is narrow (no shuffle, no vocab
+table — word ids are a per-token polynomial character hash, identical in
+Spark and DuckDB); the LSH band join shuffles only (band, bucket) keys and
+the verify join touches candidate pairs only (the candidate set is joined
+to the shingle table BEFORE any shingle self-join, so work is proportional
+to |candidates|, never to co-shingle pair counts).
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
 ]
 MERSENNE31 = 2147483647
 SIMHASH_A, SIMHASH_B, SIMHASH_BITS = 69069, 362437, 16
+WID_BASE = 131  # polynomial char-hash base (word id, no vocab table)
+SID_P = 1000003  # shingle combiner prime
 
 PERMS_VALUES_SQL = (
     "(SELECT * FROM (VALUES "
@@ -40,25 +45,43 @@ PERMS_VALUES_SQL = (
     + ") AS p(pid, a, b))"
 )
 
-# shared shingle CTE prologue (DuckDB twin of shingles())
-SHINGLES_CTE_SQL = """
+# DuckDB twin of word_id_expr(): left-fold polynomial hash over char codes.
+# list_prepend(0) supplies the same zero accumulator as Spark's aggregate().
+WID_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({w}, ''), c -> ascii(c))), "
+    f"(acc, x) -> (acc * {WID_BASE} + x) % {MERSENNE31})"
+)
+
+# shared shingle CTE prologue (DuckDB twin of shingles()) — word ids are
+# per-token hashes (NO vocab table, no global window, no vocab join)
+SHINGLES_CTE_SQL = f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 tok AS (SELECT doc_id, UNNEST(ws) AS word,
                UNNEST(generate_series(1, len(ws))) AS i FROM w),
-vocab AS (SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid
-          FROM (SELECT DISTINCT word FROM tok)),
-nv AS (SELECT COUNT(*) AS nvocab FROM vocab),
-tw AS (SELECT t.doc_id, t.i, vb.wid FROM tok t JOIN vocab vb ON t.word = vb.word),
+tw AS (SELECT doc_id, i, {WID_SQL.format(w='word')} AS wid FROM tok),
 sh0 AS (
   SELECT doc_id,
-         wid * (SELECT nvocab FROM nv) * (SELECT nvocab FROM nv)
-         + LEAD(wid, 1) OVER (PARTITION BY doc_id ORDER BY i) * (SELECT nvocab FROM nv)
-         + LEAD(wid, 2) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+         ((wid * {SID_P} + LEAD(wid, 1) OVER (PARTITION BY doc_id ORDER BY i))
+            % {MERSENNE31} * {SID_P}
+          + LEAD(wid, 2) OVER (PARTITION BY doc_id ORDER BY i)) % {MERSENNE31} AS sid
   FROM tw
 ),
 sh AS (SELECT DISTINCT doc_id, sid FROM sh0 WHERE sid IS NOT NULL),
 sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1)
 """
+
+
+def word_id_expr(word):
+    """64-bit-safe polynomial character hash of a word — computed per token
+    (narrow, codegen'd), identical to WID_SQL in DuckDB. Replaces the vocab
+    dim entirely: no distinct, no global row_number window, no join.
+    wid < 2^31 so 3-wid shingle combining stays within int64."""
+    return F.aggregate(
+        F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(WID_BASE) + x, F.lit(MERSENNE31)),
+    )
 
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,28 +100,21 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, sid) 3-word shingle ids via a derived vocab.
+    """Distinct (doc_id, sid) 3-word shingle ids.
 
-    The vocab row_number uses a single-partition window — the vocab is a
-    dimension (31 distinct words here; at scale you'd keep it a broadcast
-    dim table built once)."""
+    Word ids come from word_id_expr (per-token char hash) so the only
+    shuffle is the doc_id repartition in tokens(); the lead window is
+    partitioned by doc_id (never single-partition). sid combines the 3
+    wids with a prime-weighted fold mod 2^31-1 — bit-identical to the
+    DuckDB twin, collision probability ~|shingles|²/2^32 per corpus."""
     tok = tokens(spark, sf_dir)
-    vocab = (
-        tok.select("word")
-        .distinct()
-        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
-    )
-    nv = vocab.agg(F.count(F.lit(1)).alias("nvocab"))
-    tw = (
-        tok.join(F.broadcast(vocab), "word")
-        .select("doc_id", "i", "wid")
-        .crossJoin(F.broadcast(nv))
-    )
+    tw = tok.select("doc_id", "i", word_id_expr(F.col("word")).alias("wid"))
     w = Window.partitionBy("doc_id").orderBy("i")
-    sid = (
-        F.col("wid") * F.col("nvocab") * F.col("nvocab")
-        + F.lead("wid", 1).over(w) * F.col("nvocab")
-        + F.lead("wid", 2).over(w)
+    sid = F.pmod(
+        F.pmod(F.col("wid") * F.lit(SID_P) + F.lead("wid", 1).over(w), F.lit(MERSENNE31))
+        * F.lit(SID_P)
+        + F.lead("wid", 2).over(w),
+        F.lit(MERSENNE31),
     )
     return (
         tw.select("doc_id", sid.alias("sid"))
@@ -112,18 +128,31 @@ def _sizes(sh: DataFrame) -> DataFrame:
 
 
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """(doc_a, doc_b, jaccard) from the shingle inverted index; optionally
-    restricted to an LSH candidate set (semi join)."""
+    """(doc_a, doc_b, jaccard) intersection counts, two regimes:
+
+    * candidates given (LSH path): join the candidate PAIRS to the shingle
+      table on each side, count shared sids per pair. Work is
+      O(|cand| * avg_shingles) — the sid self-join explosion never happens,
+      which is the whole point of LSH at corpus scale.
+    * no candidates (exact path): inverted-index self-join on sid. At scale
+      this needs a doc-frequency cap on hot sids; exact-by-construction here.
+    """
     a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sid")
-    common = (
-        a.join(b, "sid")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        common = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "sid"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        common = (
+            a.join(b, "sid")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     sizes = _sizes(sh)
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ns", "na"), "doc_a")
@@ -224,9 +253,9 @@ sig AS (SELECT doc_id, pid, MIN((a * sid + b) % {MERSENNE31}) AS mh
 cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
          FROM sig s1 JOIN sig s2 ON s1.pid = s2.pid AND s1.mh = s2.mh
                       AND s1.doc_id < s2.doc_id),
-common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
-           JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+common AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS c
+           FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+                     JOIN sh b ON b.doc_id = cand.doc_b AND b.sid = a.sid
            GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b

@@ -5,7 +5,7 @@ whole-stage codegen) with bit-exact DuckDB twins — no UDFs in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a"]
@@ -81,45 +81,44 @@ FROM documents GROUP BY 1
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial fingerprint over vocab word-ids with cyclic
+    """Rolling polynomial fingerprint over hashed word-ids with cyclic
     position weights 31^(i mod 16) mod M — deterministic integer arithmetic
-    (the windowed analogue of a content-defined rolling hash)."""
-    from raster_processor_spark.operators.dedup import tokens
+    (the windowed analogue of a content-defined rolling hash). Word ids are
+    per-token char hashes (dedup.word_id_expr): no vocab table, no global
+    window, the whole front-end is narrow. Each term is reduced mod M before
+    the SUM so the running sum stays < 2^51 (int64-safe in Spark)."""
+    from raster_processor_spark.operators.dedup import tokens, word_id_expr
 
     tok = tokens(spark, sf_dir)
-    vocab = (
-        tok.select("word")
-        .distinct()
-        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
-    )
     powers = spark.createDataFrame(
         [(i, p) for i, p in enumerate(FP_POWERS)], "imod INT, pw BIGINT"
     )
     tw = (
-        tok.join(F.broadcast(vocab), "word")
+        tok.select("doc_id", "i", word_id_expr(F.col("word")).alias("wid"))
         .withColumn("imod", F.pmod(F.col("i"), F.lit(16)).cast("int"))
         .join(F.broadcast(powers), "imod")
     )
+    term = F.pmod(F.col("wid") * F.col("pw"), F.lit(FP_MOD))
     return tw.groupBy("doc_id").agg(
-        F.pmod(F.sum(F.col("wid") * F.col("pw")), F.lit(FP_MOD)).alias("fingerprint"),
+        F.pmod(F.sum(term), F.lit(FP_MOD)).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
 
 
 def doc_fingerprint_sql() -> str:
+    from raster_processor_spark.operators.dedup import WID_SQL
+
     powers = ", ".join(f"({i}, {p})" for i, p in enumerate(FP_POWERS))
+    wid = WID_SQL.format(w="word")
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 tok AS (SELECT doc_id, UNNEST(ws) AS word,
                UNNEST(generate_series(1, len(ws))) AS i FROM w),
-vocab AS (SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid
-          FROM (SELECT DISTINCT word FROM tok)),
 powers AS (SELECT * FROM (VALUES {powers}) AS p(imod, pw)),
-tw AS (SELECT t.doc_id, vb.wid, pw.pw
-       FROM tok t JOIN vocab vb ON t.word = vb.word
-       JOIN powers pw ON pw.imod = (t.i - 1) % 16)
+tw AS (SELECT t.doc_id, {wid} AS wid, pw.pw
+       FROM tok t JOIN powers pw ON pw.imod = (t.i - 1) % 16)
 SELECT doc_id,
-       SUM(wid * pw) % {FP_MOD} AS fingerprint,
+       CAST(SUM((wid * pw) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint,
        COUNT(*) AS n_tokens
 FROM tw GROUP BY 1
 """
@@ -127,13 +126,20 @@ FROM tw GROUP BY 1
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup: keep the smallest doc_id per distinct text, report
-    group size (hash-groupBy dedup; at scale group by xxhash64(text) first,
-    verify on collision)."""
+    group size. Groups by (length, xxhash64) of the text so the shuffle
+    carries 16 bytes per row instead of whole documents — equal texts always
+    collide; a 64-bit+length collision between different texts is ~n²/2^64
+    and would be caught by the oracle compare."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    ).select("keep_id", "n_copies")
+    return (
+        d.select("doc_id", F.length("text").alias("tlen"), F.xxhash64("text").alias("th"))
+        .groupBy("tlen", "th")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
 
 
 def dedup_exact_sql() -> str:

@@ -791,7 +791,7 @@ kept AS (
   WHERE CASE WHEN n_gs >= 4 THEN is_good_sus ELSE (is_good_sus OR is_degraded) END
 )
 SELECT cell_id, COUNT(*) AS n_used,
-       SUM(CASE WHEN is_degraded THEN 1 ELSE 0 END) AS n_degraded_used
+       CAST(SUM(CASE WHEN is_degraded THEN 1 ELSE 0 END) AS BIGINT) AS n_degraded_used
 FROM kept GROUP BY 1
 """,
 )
