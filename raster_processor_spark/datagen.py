@@ -70,6 +70,19 @@ def images_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     return base.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def images_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the image table from an existing id DataFrame (one image
+    per id, image_id = img_{id:012d}) — fully distributed, no driver count:
+    the id column streams through the same Arrow-batched generator as
+    images_df."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _gen_batch(pdf[id_col])
+
+    return ids_df.select(id_col).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def write_images(spark: SparkSession, n: int, path: str, partitions: int | None = None) -> None:
     images_df(spark, n, partitions).write.mode("overwrite").parquet(path)
 

@@ -110,3 +110,72 @@ def with_georef(images: DataFrame) -> DataFrame:
     return images.withColumn("lat", geo.lat_col(key)).withColumn(
         "lon", geo.lon_col(key)
     )
+
+
+# ------------------------------------------------------- golden SQL oracles --
+# decode_stats / resize_thumbs are pure functions of the image ids (seeded
+# codec), so their DuckDB oracle is a precomputed expected table from the
+# same numpy golden, joined to the documents ids actually present — a hard
+# value check, not a rows-only smoke test.
+
+
+def _expected_decode_rows(n: int) -> list[tuple]:
+    rows = []
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        w, h = codec.dims_for(iid)
+        fmt = codec.fmt_for(iid)
+        px = codec.gen_pixels(iid, w, h)
+        buf = codec.encode(px, fmt)
+        m, s, lo, hi = codec.pixel_stats(codec.decode(buf, w, h, fmt))
+        rows.append((iid, m, s, lo, hi, len(buf)))
+    return rows
+
+
+def decode_stats_oracle_sql(n: int) -> str:
+    vals = ",\n".join(
+        f"('{iid}', CAST({m!r} AS DOUBLE), CAST({s!r} AS DOUBLE), "
+        f"CAST({lo} AS INTEGER), CAST({hi} AS INTEGER), CAST({nb} AS BIGINT))"
+        for iid, m, s, lo, hi, nb in _expected_decode_rows(n)
+    )
+    return f"""
+WITH expected(image_id, px_mean, px_std, px_min, px_max, n_bytes) AS (
+  VALUES {vals}
+),
+ids AS (SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+        FROM documents)
+SELECT e.image_id, e.px_mean, e.px_std, e.px_min, e.px_max, e.n_bytes
+FROM expected e JOIN ids USING (image_id)
+"""
+
+
+def _expected_resize_rows(n: int, target: int) -> list[tuple]:
+    rows = []
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        w, h = codec.dims_for(iid)
+        fmt = codec.fmt_for(iid)
+        px = codec.gen_pixels(iid, w, h)
+        buf = codec.encode(px, fmt)
+        dec = codec.decode(buf, w, h, fmt)
+        ys = (np.arange(target) * h // target).astype(int)
+        xs = (np.arange(target) * w // target).astype(int)
+        thumb = dec[np.ix_(ys, xs)]
+        rows.append((iid, target, target, len(codec.encode(thumb, "raw"))))
+    return rows
+
+
+def resize_oracle_sql(n: int, target: int) -> str:
+    vals = ",\n".join(
+        f"('{iid}', CAST({tw} AS INTEGER), CAST({th} AS INTEGER), CAST({nb} AS INTEGER))"
+        for iid, tw, th, nb in _expected_resize_rows(n, target)
+    )
+    return f"""
+WITH expected(image_id, tw, th, thumb_bytes) AS (
+  VALUES {vals}
+),
+ids AS (SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+        FROM documents WHERE doc_id < {n})
+SELECT e.image_id, e.tw, e.th, e.thumb_bytes
+FROM expected e JOIN ids USING (image_id)
+"""

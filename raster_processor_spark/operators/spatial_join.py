@@ -41,16 +41,29 @@ def polygon_cover_cells(n_polys: int, res: int = COARSE_RES) -> list[tuple[int, 
     the swath polygon once, products.py:1165-1171)."""
     verts = pg.polygons_np(n_polys)  # (P, V, 2) of (vx=lon, vy=lat)
     out: list[tuple[int, int]] = []
-    ny, nx = 1 << res, 1 << (res + 1)
     for p in range(n_polys):
         lon_min, lat_min = verts[p].min(axis=0)
         lon_max, lat_max = verts[p].max(axis=0)
-        yb0, xb0 = ci.quad_bins(np.array([lat_min]), np.array([lon_min]), res)
-        yb1, xb1 = ci.quad_bins(np.array([lat_max]), np.array([lon_max]), res)
-        for yb in range(int(yb0[0]), int(yb1[0]) + 1):
-            for xb in range(int(xb0[0]), int(xb1[0]) + 1):
-                out.append((res * ci.RES_SHIFT + yb * ci.Y_SHIFT + xb, p))
-    return out
+        # antimeridian split (reference: products.py:1425-1457): vertices in
+        # continuous longitude may extend past +/-180 — emit cover cells for
+        # each wrapped lon range so dateline-crossing polygons keep full
+        # candidate recall against points stored in [-180, 180).
+        lon_ranges: list[tuple[float, float]] = []
+        if lon_max > 180.0:
+            lon_ranges.append((lon_min, 179.999999))
+            lon_ranges.append((-180.0, lon_max - 360.0))
+        elif lon_min < -180.0:
+            lon_ranges.append((-180.0, lon_max))
+            lon_ranges.append((lon_min + 360.0, 179.999999))
+        else:
+            lon_ranges.append((lon_min, lon_max))
+        for lo, hi in lon_ranges:
+            yb0, xb0 = ci.quad_bins(np.array([lat_min]), np.array([lo]), res)
+            yb1, xb1 = ci.quad_bins(np.array([lat_max]), np.array([hi]), res)
+            for yb in range(int(yb0[0]), int(yb1[0]) + 1):
+                for xb in range(int(xb0[0]), int(xb1[0]) + 1):
+                    out.append((res * ci.RES_SHIFT + yb * ci.Y_SHIFT + xb, p))
+    return sorted(set(out))
 
 
 def pip_refine_udf(n_polys: int):
@@ -67,10 +80,14 @@ def pip_refine_udf(n_polys: int):
             px = lon.to_numpy()
             py = lat.to_numpy()
             result = np.zeros(len(pid), dtype=bool)
-            # vectorize per polygon present in the batch
+            # vectorize per polygon present in the batch; containment is on
+            # the lon circle — test lon and lon+360 so polygons whose
+            # vertices run past +180 (antimeridian) match points stored in
+            # [-180, 180)
             for p in np.unique(pid):
                 m = pid == p
-                result[m] = pg.pip_ray_cast_np(px[m], py[m], edges[p])
+                result[m] = pg.pip_ray_cast_np(px[m], py[m], edges[p]) | \
+                    pg.pip_ray_cast_np(px[m] + 360.0, py[m], edges[p])
             yield pd.Series(result)
 
     return _refine
@@ -137,6 +154,12 @@ GROUP BY p.key, e.poly_id
 HAVING SUM(
   CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
        THEN (CASE WHEN p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                  THEN 1 ELSE 0 END)
+       ELSE 0 END
+) % 2 = 1
+OR SUM(
+  CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+       THEN (CASE WHEN p.lon + 360.0 < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
                   THEN 1 ELSE 0 END)
        ELSE 0 END
 ) % 2 = 1

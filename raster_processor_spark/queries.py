@@ -31,6 +31,7 @@ from raster_processor_spark.functions.quality import (
     summary_qual_sql,
 )
 from raster_processor_spark.operators import aggregates as agg
+from raster_processor_spark.operators import burn as brn
 from raster_processor_spark.operators import knn as knn_op
 from raster_processor_spark.operators import spatial_join as sj
 from raster_processor_spark.operators import windows as win
@@ -431,10 +432,7 @@ _QUAL_CONDS_SQL: list[tuple[str, int]] = [
 ]
 
 
-@q(
-    "qual_rollup",
-    f"""
-WITH pts AS ({PIXC_PTS_SQL})
+_QUAL_ROLLUP_BODY_SQL = f"""
 SELECT {CELL7_SQL} AS cell_id,
        {agg.qual_bitwise_rollup_sql(_QUAL_CONDS_SQL, 'qual_bitwise')},
        (CASE WHEN MAX(CASE WHEN height > 550.0 THEN 1 ELSE 0 END) = 1 THEN 3
@@ -443,8 +441,10 @@ SELECT {CELL7_SQL} AS cell_id,
              ELSE 0 END) AS qual_summary,
        COUNT(*) AS n_pix
 FROM pts GROUP BY 1
-""",
-)
+"""
+
+
+@q("qual_rollup", f"WITH pts AS ({PIXC_PTS_SQL})\n{_QUAL_ROLLUP_BODY_SQL}")
 def qual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = with_cell(pixc_points(spark, sf_dir), 7)
     qw = F.col("qual_word")
@@ -468,6 +468,55 @@ def qual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.qual_bitwise_rollup(conds, "qual_bitwise"),
         summary.alias("qual_summary"),
         F.count(F.lit(1)).alias("n_pix"),
+    )
+
+
+# ====================================================================== J6 ===
+# polygon→grid burn: dense per-cell boolean masks from the polygon sets
+# (reference raster_proc.py:916-940 geometry_mask all_touched=True)
+
+@q("polygon_burn", brn.burn_flags_sql(N_POLYS))
+def polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brn.burn_flags(spark, N_POLYS)
+
+
+# ====================================================================== A14+ ==
+# dense qual roll-up: the burn universe densifies the sparse groupBy — empty
+# cells carry the reference's BAD + NO_PIXELS + FEW_PIXELS fills
+# (raster_proc.py:729-731, raster_agg.py:365-369) and the burn masks OR into
+# the bitwise word (raster_proc.py:1002-1007)
+
+_DENSE_SQL = f"""
+WITH {brn._burn_cte_sql(N_POLYS)},
+pts AS ({PIXC_PTS_SQL}),
+rollup AS ({{ROLLUP}})
+SELECT f.cell_id,
+       CAST(COALESCE(r.qual_bitwise, {brn.EMPTY_FILL_BITWISE})
+            + (CASE WHEN f.missing_flag THEN {brn.QUAL_IND_MISSING_KARIN_DATA} ELSE 0 END)
+            + (CASE WHEN f.inner_swath_flag THEN {brn.QUAL_IND_INNER_SWATH} ELSE 0 END)
+          AS BIGINT) AS qual_bitwise,
+       CAST(COALESCE(r.qual_summary, {brn.QUAL_IND_BAD}) AS INTEGER) AS qual_summary,
+       CAST(COALESCE(r.n_pix, 0) AS BIGINT) AS n_pix
+FROM flags f LEFT JOIN rollup r ON f.cell_id = r.cell_id
+"""
+
+
+@q("qual_rollup_dense", _DENSE_SQL.replace("{ROLLUP}", _QUAL_ROLLUP_BODY_SQL))
+def qual_rollup_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = qual_rollup(spark, sf_dir)
+    flags = brn.burn_flags(spark, N_POLYS)
+    j = flags.join(rollup, "cell_id", "left")
+    base = F.coalesce(F.col("qual_bitwise"), F.lit(brn.EMPTY_FILL_BITWISE))
+    bits = (
+        base
+        + F.when(F.col("missing_flag"), F.lit(brn.QUAL_IND_MISSING_KARIN_DATA)).otherwise(F.lit(0))
+        + F.when(F.col("inner_swath_flag"), F.lit(brn.QUAL_IND_INNER_SWATH)).otherwise(F.lit(0))
+    )
+    return j.select(
+        "cell_id",
+        bits.cast("long").alias("qual_bitwise"),
+        F.coalesce(F.col("qual_summary"), F.lit(brn.QUAL_IND_BAD)).cast("int").alias("qual_summary"),
+        F.coalesce(F.col("n_pix"), F.lit(0)).cast("long").alias("n_pix"),
     )
 
 
@@ -886,6 +935,312 @@ def error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 1, F.sqrt((se2 - se * se / n) / (n - 1))).alias("std_e"),
         F.percentile(F.abs(e), F.lit(0.68)).alias("abs_e_68"),
         F.percentile(e, F.lit(0.5)).alias("e_50"),
+    )
+
+
+# ================================================================= A18/O2 =====
+# weighted error metrics: the reference's accuracy gates are WEIGHTED
+# percentiles (analysis/metrics.py:37-45 cumsum-interpolation; pass/fail
+# thresholds metrics.py:20-26 are |wse_e|_68-style quantiles)
+
+_WEM_SRC_SQL = f"""
+SELECT classification, key,
+       (height - pixel_area / 5.0) AS e,
+       height_w AS w
+FROM ({PIXC_PTS_SQL})
+"""
+
+
+def _wem_oracle() -> str:
+    from raster_processor_spark.operators import percentiles as pctl
+
+    abs68 = pctl.weighted_percentile_sql(
+        _WEM_SRC_SQL, ["classification"], "abs(e)", "w", "key", 0.68, "abs_e68_w"
+    )
+    e50 = pctl.weighted_percentile_sql(
+        _WEM_SRC_SQL, ["classification"], "e", "w", "key", 0.5, "e50_w"
+    )
+    return f"""
+WITH src AS ({_WEM_SRC_SQL}),
+base AS (
+  SELECT classification, COUNT(*) AS n,
+         ROUND(SUM(w * e) / SUM(w), 6) AS wmean_e,
+         ROUND(sqrt(SUM(w * e * e) / SUM(w)
+                    - (SUM(w * e) / SUM(w)) * (SUM(w * e) / SUM(w))), 6) AS wstd_e
+  FROM src GROUP BY 1
+),
+p68 AS ({abs68}),
+p50 AS ({e50})
+SELECT b.classification AS classification, b.n, b.wmean_e, b.wstd_e,
+       p68.abs_e68_w AS abs_e68_w, p50.e50_w AS e50_w
+FROM base b
+JOIN p68 ON p68.classification = b.classification
+JOIN p50 ON p50.classification = b.classification
+"""
+
+
+@q("weighted_error_metrics", _wem_oracle())
+def weighted_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_processor_spark.operators import percentiles as pctl
+
+    pts = pixc_points(spark, sf_dir)
+    base = pts.select(
+        "classification",
+        "key",
+        (F.col("height") - F.col("pixel_area") / 5.0).alias("e"),
+        F.col("height_w").alias("w"),
+    )
+    w, e = F.col("w"), F.col("e")
+    aggs = base.groupBy("classification").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(w * e) / F.sum(w), 6).alias("wmean_e"),
+        F.round(
+            F.sqrt(
+                F.sum(w * e * e) / F.sum(w)
+                - (F.sum(w * e) / F.sum(w)) * (F.sum(w * e) / F.sum(w))
+            ),
+            6,
+        ).alias("wstd_e"),
+    )
+    p68 = pctl.weighted_percentile_agg(
+        base, ["classification"], F.abs(e), w, F.col("key"), 0.68, "abs_e68_w"
+    ).select("classification", "abs_e68_w")
+    p50 = pctl.weighted_percentile_agg(
+        base, ["classification"], e, w, F.col("key"), 0.5, "e50_w"
+    ).select("classification", "e50_w")
+    return aggs.join(p68, "classification").join(p50, "classification")
+
+
+# ================================================================= A17+ ======
+# weighted zonal stats: per-region inverse-variance-weighted mean + totals +
+# weighted error percentile (bin/plot_raster_region_stats.py:374-421)
+
+# pixc "key" is NOT unique in lineitem (duplicate (orderkey, linenumber)
+# pairs exist in the synthetic data); the PIP back-join needs a real PK, so
+# pack the unique natural key (okey, ln, pk, sk) into one int64 (radices
+# cover the test SFs; at production scale keep the composite key columns).
+_PIXC_UKEY = f"(({_PIXC_KEY} * 2097152 + l_partkey) * 131072 + l_suppkey)"
+_PIXC_UPTS_SQL = PIXC_PTS_SQL.replace(
+    f"SELECT {_PIXC_KEY} AS key", f"SELECT {_PIXC_UKEY} AS ukey, {_PIXC_KEY} AS key"
+)
+# geo lat/lon derive from the ORIGINAL key, so the PIP SQL runs over the
+# unique-key points with key replaced by ukey for the join identity
+_PIXC_PIP_SRC_SQL = f"""
+SELECT ukey AS key, lat, lon FROM ({_PIXC_UPTS_SQL})
+"""
+
+_ZSW_PTS_SQL = f"""
+SELECT p.ukey AS key, pip.poly_id AS poly_id, p.height, p.height_w,
+       p.pixel_area, (p.height - p.pixel_area / 5.0) AS e
+FROM ({_PIXC_UPTS_SQL}) p
+JOIN ({{PIP}}) pip ON pip.key = p.ukey
+"""
+
+
+def pixc_points_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pixc_points plus a genuinely unique int64 key (mixed-radix pack of
+    the (orderkey, linenumber, partkey, suppkey) natural PK)."""
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    ukey = (key * 2097152 + F.col("l_partkey")) * 131072 + F.col("l_suppkey")
+    return li.select(
+        ukey.cast("long").alias("ukey"),
+        key.alias("key"),
+        geo.lat_col(key).alias("lat"),
+        geo.lon_col(key).alias("lon"),
+        (F.col("l_extendedprice") / 1000.0).alias("height"),
+        (F.pmod(F.col("l_suppkey"), F.lit(7)) + 1).cast("double").alias("height_w"),
+        (F.col("l_quantity") * 10.0).alias("pixel_area"),
+    )
+
+
+def _zsw_oracle() -> str:
+    from raster_processor_spark.operators import percentiles as pctl
+
+    pip = sj.pip_join_sql(_PIXC_PIP_SRC_SQL, N_POLYS)
+    src = _ZSW_PTS_SQL.replace("{PIP}", pip)
+    p68 = pctl.weighted_percentile_sql(
+        src, ["poly_id"], "abs(e)", "height_w", "key", 0.68, "abs_e68_w"
+    )
+    return f"""
+WITH src AS ({src}),
+base AS (
+  SELECT poly_id, COUNT(*) AS n_points,
+         ROUND(SUM(height_w * height) / SUM(height_w), 6) AS wse_wmean,
+         ROUND(SUM(pixel_area), 6) AS area_total
+  FROM src GROUP BY 1
+),
+p68 AS ({p68})
+SELECT b.poly_id AS poly_id, b.n_points, b.wse_wmean, b.area_total,
+       p68.abs_e68_w AS abs_e68_w
+FROM base b JOIN p68 ON p68.poly_id = b.poly_id
+"""
+
+
+@q("zonal_stats_weighted", _zsw_oracle())
+def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_processor_spark.operators import percentiles as pctl
+
+    pts = pixc_points_unique(spark, sf_dir)
+    pip = sj.point_in_polygon_join(
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("ukey")
+    ).withColumnRenamed("key", "ukey")
+    src = pip.join(pts, "ukey").select(
+        F.col("ukey").alias("key"),
+        "poly_id",
+        "height",
+        "height_w",
+        "pixel_area",
+        (F.col("height") - F.col("pixel_area") / 5.0).alias("e"),
+    )
+    base = src.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("height_w") * F.col("height")) / F.sum("height_w"), 6).alias("wse_wmean"),
+        F.round(F.sum("pixel_area"), 6).alias("area_total"),
+    )
+    p68 = pctl.weighted_percentile_agg(
+        src, ["poly_id"], F.abs(F.col("e")), F.col("height_w"), F.col("key"),
+        0.68, "abs_e68_w",
+    ).select("poly_id", "abs_e68_w")
+    return base.join(p68, "poly_id")
+
+
+# ====================================================================== O1 ===
+# tile-name sort key: PPP_TTTS parse/format + the reference's
+# side-first granule ordering (products.py:133-140 name format,
+# products.py:1714-1724 argsort on tile_name[-1].lower() + tile_name[:-1])
+
+@q(
+    "tile_name_sort",
+    """
+WITH named AS (
+  SELECT DISTINCT event_type,
+         printf('%03d_%03d%s', event_id % 311, (event_id // 311) % 997,
+                CASE WHEN event_id % 2 = 0 THEN 'L' ELSE 'R' END) AS tile_name
+  FROM events
+)
+SELECT event_type, tile_name,
+       CAST(substring(tile_name, 1, 3) AS INTEGER) AS pass_num,
+       CAST(substring(tile_name, 5, 3) AS INTEGER) AS tile_num,
+       substring(tile_name, 8, 1) AS side,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY event_type
+         ORDER BY lower(substring(tile_name, 8, 1)) || substring(tile_name, 1, 7)
+       ) AS BIGINT) AS sort_rank
+FROM named
+""",
+)
+def tile_name_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    name = F.format_string(
+        "%03d_%03d%s",
+        F.pmod(F.col("event_id"), F.lit(311)),
+        F.pmod((F.col("event_id") / 311).cast("long"), F.lit(997)),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, "L").otherwise("R"),
+    )
+    named = e.select("event_type", name.alias("tile_name")).distinct()
+    sort_key = F.concat(
+        F.lower(F.substring("tile_name", 8, 1)), F.substring("tile_name", 1, 7)
+    )
+    w = Window.partitionBy("event_type").orderBy(sort_key)
+    return named.select(
+        "event_type",
+        "tile_name",
+        F.substring("tile_name", 1, 3).cast("int").alias("pass_num"),
+        F.substring("tile_name", 5, 3).cast("int").alias("tile_num"),
+        F.substring("tile_name", 8, 1).alias("side"),
+        F.row_number().over(w).cast("long").alias("sort_rank"),
+    )
+
+
+# ================================================================ §2.8 date ==
+# epoch→formatted time-coverage strings (raster_proc.py:530-543 strftime of
+# nanmin/nanmax illumination_time with products.DATETIME_FORMAT_STR)
+
+@q(
+    "time_coverage",
+    """
+SELECT event_type,
+       strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS time_coverage_start,
+       strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS time_coverage_end,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def time_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    return e.groupBy("event_type").agg(
+        F.date_format(F.min(F.col("ts").cast("timestamp")), fmt).alias("time_coverage_start"),
+        F.date_format(F.max(F.col("ts").cast("timestamp")), fmt).alias("time_coverage_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ====================================================================== P4 ===
+# bright-land exclusion: flagged pixels are excluded from sig0/wse kernels
+# (raster_agg.py sig0/wse aggregations drop pixc_bright_land_flag rows;
+# QUAL_IND_BRIGHT_LAND = 128, products.py:41)
+
+@q(
+    "bright_land_exclusion",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN (qual_word & 128) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bright_excluded,
+       (SUM(CASE WHEN (qual_word & 128) = 0
+                 THEN ROUND(height * 100000.0) * height_w ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN (qual_word & 128) = 0 THEN height_w ELSE 0 END), 0)
+        / 100000.0) AS wse_mean_nobright
+FROM pts GROUP BY 1
+""",
+)
+def bright_land_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    bright = F.col("qual_word").bitwiseAND(F.lit(128)) > 0
+    # integerized weighted sum (ROUND(h*1e5) * int weight): exact in FP, so
+    # the partial-agg order cannot perturb the result vs the oracle
+    wnum = F.sum(
+        F.when(~bright, F.round(F.col("height") * 100000.0) * F.col("height_w"))
+        .otherwise(F.lit(0.0))
+    )
+    wden = F.sum(F.when(~bright, F.col("height_w")).otherwise(F.lit(0.0)))
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(bright, 1).otherwise(0)).alias("n_bright_excluded"),
+        (wnum / F.nullif(wden, F.lit(0.0)) / 100000.0).alias("wse_mean_nobright"),
+    )
+
+
+# ====================================================================== A4 ===
+# cell-center lat/lon emission (the raster product's coordinate columns;
+# reference products.py:1157-1210 uses cell centers for cropping)
+
+@q(
+    "cell_centers",
+    f"""
+WITH pts AS ({DOC_PTS_SQL}),
+cells AS (SELECT DISTINCT {CELL7_SQL} AS cell_id FROM pts)
+SELECT cell_id,
+       ((cell_id - {7 * ci.RES_SHIFT}) // {ci.Y_SHIFT} + 0.5) / 128.0 * 180.0 - 90.0
+         AS center_lat,
+       ((cell_id - {7 * ci.RES_SHIFT}) % {ci.Y_SHIFT} + 0.5) / 256.0 * 360.0 - 180.0
+         AS center_lon
+FROM cells
+""",
+)
+def cell_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = with_cell(doc_points(spark, sf_dir), 7)
+    cells = pts.select("cell_id").distinct()
+    rem = F.col("cell_id") - F.lit(7 * ci.RES_SHIFT)
+    yb = (rem / ci.Y_SHIFT).cast("long")
+    xb = F.pmod(rem, F.lit(ci.Y_SHIFT))
+    return cells.select(
+        "cell_id",
+        ((yb + 0.5) / 128.0 * 180.0 - 90.0).alias("center_lat"),
+        ((xb + 0.5) / 256.0 * 360.0 - 180.0).alias("center_lon"),
     )
 
 

@@ -69,36 +69,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_fingerprint(spark, sf_dir)
 
 
-@q("multimodal_decode_stats", None)  # binary decode → rows-only check
+from raster_processor_spark.operators import multimodal as _mm
+
+# golden-VALUES oracles: the codec is a pure function of the ids, so the
+# oracle is the numpy-golden expected table joined to the documents ids.
+# The gate runs at sf<=0.01 where documents has 500 rows (ids 0..499).
+_MM_N, _MM_RESIZE_N, _MM_TARGET = 500, 200, 8
+
+
+@q("multimodal_decode_stats", _mm.decode_stats_oracle_sql(_MM_N))
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stats over an image table synthesized in-flight from document
     ids (the driver tables carry no binary column; generation is the same
-    deterministic codec the golden tests pin down)."""
-    from pyspark.sql import functions as F
-
+    deterministic codec the golden tests pin down). Fully distributed: ids
+    stream into the generator via mapInPandas — no driver count()."""
     from raster_processor_spark import datagen
     from raster_processor_spark.operators import multimodal as mm
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    n = d.count()
-    images = datagen.images_df(spark, n, partitions=8)
+    images = datagen.images_from_ids(d.repartition(8))
     stats = mm.decode_stats(images)
     return stats.select(
         "image_id", "px_mean", "px_std", "px_min", "px_max", "n_bytes"
     )
 
 
-@q("multimodal_resize", None)  # decode → transform → re-encode plumbing
+@q("multimodal_resize", _mm.resize_oracle_sql(_MM_RESIZE_N, _MM_TARGET))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode over the first
+    _MM_RESIZE_N ids (predicate, not a driver-side count+range)."""
     from pyspark.sql import functions as F
 
     from raster_processor_spark import datagen
     from raster_processor_spark.operators import multimodal as mm
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    n = min(d.count(), 200)
-    images = datagen.images_df(spark, n, partitions=4)
-    thumbs = mm.resize_thumbs(images, target=8)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < _MM_RESIZE_N)
+    )
+    images = datagen.images_from_ids(d.repartition(4))
+    thumbs = mm.resize_thumbs(images, target=_MM_TARGET)
     return thumbs.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))
 
 

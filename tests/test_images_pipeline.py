@@ -46,7 +46,9 @@ def _golden(n):
     edges = pg.polygon_edges_np(pl.N_POLYS)
     pairs = set()
     for p in range(pl.N_POLYS):
-        inside = pg.pip_ray_cast_np(lon, lat, edges[p])
+        # lon-circle containment (antimeridian polygons)
+        inside = pg.pip_ray_cast_np(lon, lat, edges[p]) | \
+            pg.pip_ray_cast_np(lon + 360.0, lat, edges[p])
         for i in np.nonzero(inside)[0]:
             pairs.add((ids[i], p))
     return ids, c9, c8, c7, pairs

@@ -56,3 +56,14 @@ def test_kernel_agg_plan_shape(spark):
     # scan pruned to exactly the consumed lineitem columns
     read_schema = plan.split("ReadSchema:")[1]
     assert "l_quantity" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_antimeridian_polygon_contributes_pairs(spark):
+    # the dateline-wrap polygon (last poly id) must contribute containment
+    # pairs — guards the cover-cell lon-split and the lon-circle refine
+    from raster_processor_spark.queries import N_POLYS, REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    pairs = REGISTRY["pip_join"].spark(spark, SF_ORACLE)
+    n = pairs.where(pairs.poly_id == N_POLYS - 1).count()
+    assert n > 0, "antimeridian polygon produced no containment pairs"
