@@ -38,6 +38,12 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_stats",
+    "polygon_burn",
+    "qual_rollup_dense",
+    "zonal_stats_weighted",
+    "weighted_error_metrics",
+    "regeoloc",
+    "dedup_embedding_cosine",
 ]
 
 

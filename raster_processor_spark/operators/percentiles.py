@@ -95,3 +95,116 @@ FROM (
   ) GROUP BY {gc}
 )
 """
+
+
+def weighted_percentiles_fused(
+    df: DataFrame,
+    group_cols: list[str],
+    weight: Column,
+    key: Column,
+    specs: list[tuple[Column, float, str]],
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Several weighted percentiles (different sort orders) + ordinary
+    aggregates in ONE shuffle: all windows share partitionBy(group) (Spark
+    reuses the exchange, re-sorting per window) and a single groupBy picks
+    every bracket and computes the extra aggregates. Replaces the
+    join-of-three-aggregations shape (3 shuffles → 1)."""
+    d = df.withColumn("_w", weight).withColumn("_k", key)
+    for i, (val, _q, _name) in enumerate(specs):
+        d = d.withColumn(f"_v{i}", val)
+    tot = F.sum("_w").over(Window.partitionBy(*group_cols))
+    aggs: list[Column] = []
+    for i, (_val, q, _name) in enumerate(specs):
+        win = (
+            Window.partitionBy(*group_cols)
+            .orderBy(f"_v{i}", "_k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = d.withColumn(
+            f"_p{i}", (F.sum("_w").over(win) - 0.5 * F.col("_w")) / tot
+        )
+        below = F.when(
+            F.col(f"_p{i}") <= q,
+            F.struct(F.col(f"_p{i}").alias("_p"), F.col(f"_v{i}").alias("_v")),
+        )
+        above = F.when(
+            F.col(f"_p{i}") > q,
+            F.struct(F.col(f"_p{i}").alias("_p"), F.col(f"_v{i}").alias("_v")),
+        )
+        aggs.append(F.max(below).alias(f"_lo{i}"))
+        aggs.append(F.min(above).alias(f"_hi{i}"))
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    g = d.groupBy(*group_cols).agg(*aggs)
+    out_cols = list(group_cols) + list((extra_aggs or {}).keys())
+    sel = [F.col(c) for c in out_cols]
+    for i, (_val, q, name) in enumerate(specs):
+        p0, v0 = F.col(f"_lo{i}._p"), F.col(f"_lo{i}._v")
+        p1, v1 = F.col(f"_hi{i}._p"), F.col(f"_hi{i}._v")
+        interp = (
+            F.when(F.col(f"_lo{i}").isNull(), v1)
+            .when(F.col(f"_hi{i}").isNull(), v0)
+            .otherwise(v0 + (v1 - v0) * (F.lit(float(q)) - p0) / (p1 - p0))
+        )
+        sel.append(interp.alias(name))
+    return g.select(*sel)
+
+
+def weighted_percentiles_fused_sql(
+    src_sql: str,
+    group_cols: list[str],
+    weight_sql: str,
+    key_sql: str,
+    specs: list[tuple[str, float, str]],
+    extra_aggs_sql: dict[str, str] | None = None,
+) -> str:
+    """DuckDB twin of weighted_percentiles_fused. ``src_sql`` must expose the
+    group cols plus every column referenced by the value/weight/key/extra
+    expressions."""
+    gc = ", ".join(group_cols)
+    vcols = ",\n         ".join(
+        f"({val}) AS _v{i}" for i, (val, _q, _n) in enumerate(specs)
+    )
+    pcols = ",\n         ".join(
+        f"""(SUM(_w) OVER (PARTITION BY {gc} ORDER BY _v{i}, _k
+              ROWS UNBOUNDED PRECEDING)
+            - 0.5 * _w) / SUM(_w) OVER (PARTITION BY {gc}) AS _p{i}"""
+        for i, _ in enumerate(specs)
+    )
+    brackets = ",\n         ".join(
+        f"""MAX(CASE WHEN _p{i} <= {float(q)!r} THEN _p{i} END) AS _p0_{i},
+         MIN(CASE WHEN _p{i} > {float(q)!r} THEN _p{i} END) AS _p1_{i},
+         MAX(CASE WHEN _p{i} <= {float(q)!r} THEN {{'p': _p{i}, 'v': _v{i}}} END).v AS _v0_{i},
+         MIN(CASE WHEN _p{i} > {float(q)!r} THEN {{'p': _p{i}, 'v': _v{i}}} END).v AS _v1_{i}"""
+        for i, (_val, q, _n) in enumerate(specs)
+    )
+    extras = "".join(
+        f",\n         {expr} AS {name}"
+        for name, expr in (extra_aggs_sql or {}).items()
+    )
+    outs = "".join(
+        f""",
+       (CASE WHEN _p0_{i} IS NULL THEN _v1_{i}
+             WHEN _p1_{i} IS NULL THEN _v0_{i}
+             ELSE _v0_{i} + (_v1_{i} - _v0_{i}) * ({float(q)!r} - _p0_{i})
+                  / (_p1_{i} - _p0_{i}) END) AS {name}"""
+        for i, (_val, q, name) in enumerate(specs)
+    )
+    extra_names = "".join(f", {n}" for n in (extra_aggs_sql or {}).keys())
+    return f"""
+SELECT {gc}{extra_names}{outs}
+FROM (
+  SELECT {gc},
+         {brackets}{extras}
+  FROM (
+    SELECT *,
+         {pcols}
+    FROM (
+      SELECT *, ({weight_sql}) AS _w, ({key_sql}) AS _k,
+         {vcols}
+      FROM ({src_sql})
+    )
+  ) GROUP BY {gc}
+)
+"""

@@ -1,0 +1,256 @@
+"""Taylor re-geolocation pipeline (the reference's second entry point):
+J4 height feedback → llh2ecef → nearest-sensor gather → per-point
+height-constrained update (geoloc_raster.py:90-194, max_iter_grad=1 — a
+single first-order step).
+
+Spark-first composition:
+  * cell heights: ONE integerized-weighted groupBy (bit-exact, broadcast
+    back to points — the J4 feedback);
+  * nearest-sensor gather: day-bucketed union window — sensors are
+    replicated into neighbor buckets (bucket width > the max sensor gap, so
+    the true nearest is always inside the ±1-bucket horizon) and each point
+    takes the closer of (last sensor before, first sensor after) with two
+    running last/first(ignorenulls) windows PARTITIONED BY BUCKET — never a
+    single-partition global window. Shuffle = points + 3x sensors.
+  * update step: p' = p + (h_new − h)·n̂ (ellipsoid normal), xyz2llh(p')
+    — all whole-stage-codegen column expressions (functions/geodesy.py),
+    no Python in the loop;
+  * slant range |p' − nadir| against the gathered sensor (the quantity the
+    reference re-computes per iteration, recompute_range=True).
+
+Outputs round lat/lon to 1e-4 deg and h/range to mm/cm: Spark (JVM) and
+DuckDB (libm) trig differ by ~ulps, so the comparison grid must be coarse
+enough to absorb them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from raster_processor_spark.functions import geodesy as geod
+
+BUCKET_US = 86_400_000_000  # 1 day >> max sensor gap (5.4 h at sf0.001)
+TIME_SALT = 7919
+NADIR_H = 873_000.0  # nominal orbit altitude, m
+
+
+def _sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVP analogue: one nadir record per event — deterministic nadir
+    lat/lon from event_id, ECEF via llh2xyz."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("stus"),
+        F.col("event_id"),
+    )
+    nlat = (F.pmod(F.col("event_id") * 37, F.lit(12000)) / 100.0 - 60.0)
+    nlon = (F.pmod(F.col("event_id") * 73, F.lit(36000)) / 100.0 - 180.0)
+    sx, sy, sz = geod.llh2xyz_cols(nlat, nlon, F.lit(NADIR_H))
+    return ev.select(
+        "stus", sx.alias("sx"), sy.alias("sy"), sz.alias("sz")
+    )
+
+
+def _sensors_sql() -> str:
+    nlat = "((event_id * 37) % 12000 / 100.0 - 60.0)"
+    nlon = "((event_id * 73) % 36000 / 100.0 - 180.0)"
+    sx, sy, sz = geod.llh2xyz_sql(nlat, nlon, f"{NADIR_H!r}")
+    return f"""
+SELECT epoch_us(ts) AS stus, {sx} AS sx, {sy} AS sy, {sz} AS sz
+FROM events
+"""
+
+
+def nearest_sensor_gather(pts: DataFrame, sens: DataFrame) -> DataFrame:
+    """pts(tus, ...) ⟕ nearest sens(stus, sx, sy, sz) by |tus − stus|.
+
+    Day-bucketed union-window nearest join (exact; see module docstring)."""
+    off = pts.sparkSession.createDataFrame([(-1,), (0,), (1,)], "o INT")
+    s3 = sens.crossJoin(F.broadcast(off)).select(
+        (F.expr(f"stus div {BUCKET_US}") + F.col("o")).alias("bucket"),
+        F.col("stus").alias("t"),
+        F.struct(
+            F.col("stus").alias("t"),
+            F.col("sx").alias("x"), F.col("sy").alias("y"), F.col("sz").alias("z"),
+        ).alias("sv"),
+        F.lit(0).alias("is_fact"),
+    )
+    f = pts.select(
+        F.expr(f"tus div {BUCKET_US}").alias("bucket"),
+        F.col("tus").alias("t"),
+        F.lit(None).cast(s3.schema["sv"].dataType).alias("sv"),
+        F.lit(1).alias("is_fact"),
+        *[c for c in pts.columns],
+    )
+    s3full = s3
+    for c in pts.columns:
+        s3full = s3full.withColumn(c, F.lit(None).cast(pts.schema[c].dataType))
+    u = f.unionByName(s3full)
+    fwd = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "is_fact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the "next sensor" uses a REVERSED growing frame: Spark evaluates
+    # first() over a shrinking [current, unbounded following] frame by
+    # re-scanning the remainder per row (O(n^2) per partition — 100x wall
+    # time at 60k rows); last() over the reversed order is incremental O(n)
+    bwd = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("t").desc(), F.col("is_fact").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        u.withColumn("prev", F.last("sv", ignorenulls=True).over(fwd))
+        .withColumn("nxt", F.last("sv", ignorenulls=True).over(bwd))
+        .where(F.col("is_fact") == 1)
+    )
+    take_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull()
+        & ((F.col("t") - F.col("prev.t")) <= (F.col("nxt.t") - F.col("t")))
+    )
+    near = F.when(take_prev, F.col("prev")).otherwise(F.col("nxt"))
+    return g.select(
+        *pts.columns,
+        near.getField("x").alias("sx"),
+        near.getField("y").alias("sy"),
+        near.getField("z").alias("sz"),
+    )
+
+
+def nearest_sensor_gather_sql(pts_sql: str, sens_sql: str, pt_cols: list[str]) -> str:
+    """DuckDB twin of nearest_sensor_gather. ``pts_sql`` must expose tus and
+    pt_cols; result exposes pt_cols + (sx, sy, sz)."""
+    pc = ", ".join(pt_cols)
+    pc_u = ", ".join(f"p.{c}" for c in pt_cols)
+    return f"""
+WITH _pts AS ({pts_sql}),
+_sens AS ({sens_sql}),
+_s3 AS (
+  SELECT CAST(stus // {BUCKET_US} AS BIGINT) + o.o AS bucket, stus AS t,
+         {{'t': stus, 'x': sx, 'y': sy, 'z': sz}} AS sv,
+         0 AS is_fact, {", ".join(f"NULL AS {c}" for c in pt_cols)}
+  FROM _sens, (SELECT UNNEST(ARRAY[-1, 0, 1]) AS o) o
+),
+_f AS (
+  SELECT CAST(tus // {BUCKET_US} AS BIGINT) AS bucket, tus AS t,
+         CAST(NULL AS STRUCT(t BIGINT, x DOUBLE, y DOUBLE, z DOUBLE)) AS sv,
+         1 AS is_fact, {pc_u}
+  FROM _pts p
+),
+_u AS (SELECT * FROM _f UNION ALL BY NAME SELECT * FROM _s3),
+_w AS (
+  SELECT *,
+         last_value(sv IGNORE NULLS) OVER (
+           PARTITION BY bucket ORDER BY t, is_fact
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(sv IGNORE NULLS) OVER (
+           PARTITION BY bucket ORDER BY t, is_fact
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM _u
+)
+SELECT {pc},
+       (CASE WHEN nxt IS NULL OR (prev IS NOT NULL
+                  AND (t - prev.t) <= (nxt.t - t))
+             THEN prev.x ELSE nxt.x END) AS sx,
+       (CASE WHEN nxt IS NULL OR (prev IS NOT NULL
+                  AND (t - prev.t) <= (nxt.t - t))
+             THEN prev.y ELSE nxt.y END) AS sy,
+       (CASE WHEN nxt IS NULL OR (prev IS NOT NULL
+                  AND (t - prev.t) <= (nxt.t - t))
+             THEN prev.z ELSE nxt.z END) AS sz
+FROM _w WHERE is_fact = 1
+"""
+
+
+def taylor_step(df: DataFrame) -> DataFrame:
+    """(key, lat, lon, height, h_new, sx, sy, sz) → corrected point rows.
+
+    Arrow-batched numpy kernel (geoloc_raster.py:167-188 runs the same math
+    through chunked process pools; mapInPandas is the Spark analogue). A
+    pure-Column version exists but Catalyst's CollapseProject duplicates the
+    Vermeille intermediates combinatorially (~100 s of codegen at 60 k rows)
+    — and numpy shares glibc libm with DuckDB, giving bit-identical trig,
+    which the JVM does not."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_processor_spark.functions import geodesy as geod
+
+    schema = (
+        "key BIGINT, lat_corr DOUBLE, lon_corr DOUBLE, h_corr DOUBLE, "
+        "slant_range_m DOUBLE"
+    )
+
+    def run(it):
+        for pdf in it:
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            h = pdf["height"].to_numpy(dtype=np.float64)
+            hn = pdf["h_new"].to_numpy(dtype=np.float64)
+            px, py, pz = geod.llh2xyz_np(lat, lon, h)
+            rl = np.deg2rad(lat)
+            ro = np.deg2rad(lon)
+            nx = np.cos(rl) * np.cos(ro)
+            ny = np.cos(rl) * np.sin(ro)
+            nz = np.sin(rl)
+            dh = hn - h
+            qx, qy, qz = px + dh * nx, py + dh * ny, pz + dh * nz
+            lat2, lon2, h2 = geod.xyz2llh_np(qx, qy, qz)
+            rng = np.sqrt(
+                (qx - pdf["sx"].to_numpy()) ** 2
+                + (qy - pdf["sy"].to_numpy()) ** 2
+                + (qz - pdf["sz"].to_numpy()) ** 2
+            )
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"].to_numpy(dtype=np.int64),
+                    "lat_corr": np.round(lat2, 6),
+                    "lon_corr": np.round(lon2, 6),
+                    "h_corr": np.round(h2, 3),
+                    "slant_range_m": np.round(rng, 3),
+                }
+            )
+
+    cols = ["key", "lat", "lon", "height", "h_new", "sx", "sy", "sz"]
+    return df.select(*cols).mapInPandas(run, schema)
+
+
+def regeoloc_pipeline(spark: SparkSession, sf_dir: str, store) -> DataFrame:
+    """The snapshot-checkpointed re-geolocation job (the reference's second
+    entry point as a resumable pipeline): stage 1 commits the per-cell
+    height raster, stage 2 commits the gathered+corrected points. Each stage
+    is a SnapshotStore.resume_or_compute — a re-run after a crash resumes
+    from the last committed snapshot instead of recomputing."""
+    from raster_processor_spark.queries import pixc_points, with_cell
+
+    def stage1():
+        pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+            "key", "lat", "lon", "height", "height_w", "cell_id"
+        )
+        w = F.col("height_w")
+        return pts.groupBy("cell_id").agg(
+            (F.sum(F.round(F.col("height") * 1e5) * w) / F.sum(w) / 1e5).alias("h_new")
+        )
+
+    cells = store.resume_or_compute(
+        spark, "regeoloc_cells", stage1, lineage_cols={"cell": "cell_id"}
+    )
+
+    def stage2():
+        pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+            "key", "lat", "lon", "height", "height_w", "cell_id"
+        )
+        sens = _sensors(spark, sf_dir)
+        bounds = sens.agg(F.min("stus").alias("t0"), F.max("stus").alias("t1"))
+        ptsb = (
+            pts.join(F.broadcast(cells), "cell_id")
+            .crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "tus",
+                (F.col("t0") + F.pmod(F.col("key") * TIME_SALT, F.col("t1") - F.col("t0"))).cast("long"),
+            )
+            .select("key", "lat", "lon", "height", "h_new", "tus")
+        )
+        return taylor_step(nearest_sensor_gather(ptsb, sens))
+
+    return store.resume_or_compute(spark, "regeoloc_points", stage2)

@@ -954,33 +954,28 @@ FROM ({PIXC_PTS_SQL})
 def _wem_oracle() -> str:
     from raster_processor_spark.operators import percentiles as pctl
 
-    abs68 = pctl.weighted_percentile_sql(
-        _WEM_SRC_SQL, ["classification"], "abs(e)", "w", "key", 0.68, "abs_e68_w"
+    return pctl.weighted_percentiles_fused_sql(
+        _WEM_SRC_SQL,
+        ["classification"],
+        "w",
+        "key",
+        [("abs(e)", 0.68, "abs_e68_w"), ("e", 0.5, "e50_w")],
+        extra_aggs_sql={
+            "n": "COUNT(*)",
+            "wmean_e": "ROUND(SUM(_w * _v1) / SUM(_w), 6)",
+            "wstd_e": (
+                "ROUND(sqrt(SUM(_w * _v1 * _v1) / SUM(_w)"
+                " - (SUM(_w * _v1) / SUM(_w)) * (SUM(_w * _v1) / SUM(_w))), 6)"
+            ),
+        },
     )
-    e50 = pctl.weighted_percentile_sql(
-        _WEM_SRC_SQL, ["classification"], "e", "w", "key", 0.5, "e50_w"
-    )
-    return f"""
-WITH src AS ({_WEM_SRC_SQL}),
-base AS (
-  SELECT classification, COUNT(*) AS n,
-         ROUND(SUM(w * e) / SUM(w), 6) AS wmean_e,
-         ROUND(sqrt(SUM(w * e * e) / SUM(w)
-                    - (SUM(w * e) / SUM(w)) * (SUM(w * e) / SUM(w))), 6) AS wstd_e
-  FROM src GROUP BY 1
-),
-p68 AS ({abs68}),
-p50 AS ({e50})
-SELECT b.classification AS classification, b.n, b.wmean_e, b.wstd_e,
-       p68.abs_e68_w AS abs_e68_w, p50.e50_w AS e50_w
-FROM base b
-JOIN p68 ON p68.classification = b.classification
-JOIN p50 ON p50.classification = b.classification
-"""
 
 
 @q("weighted_error_metrics", _wem_oracle())
 def weighted_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-shuffle form: both weighted percentiles (|e|@0.68 and
+    e@0.5 — different sort orders, same exchange) plus the weighted
+    mean/std come out of ONE window+groupBy pass (was 3 shuffles + 2 joins)."""
     from raster_processor_spark.operators import percentiles as pctl
 
     pts = pixc_points(spark, sf_dir)
@@ -990,25 +985,25 @@ def weighted_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("height") - F.col("pixel_area") / 5.0).alias("e"),
         F.col("height_w").alias("w"),
     )
-    w, e = F.col("w"), F.col("e")
-    aggs = base.groupBy("classification").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(w * e) / F.sum(w), 6).alias("wmean_e"),
-        F.round(
-            F.sqrt(
-                F.sum(w * e * e) / F.sum(w)
-                - (F.sum(w * e) / F.sum(w)) * (F.sum(w * e) / F.sum(w))
+    w, e = F.col("_w"), F.col("_v1")  # post-window aliases (e sorts spec 1)
+    return pctl.weighted_percentiles_fused(
+        base,
+        ["classification"],
+        F.col("w"),
+        F.col("key"),
+        [(F.abs(F.col("e")), 0.68, "abs_e68_w"), (F.col("e"), 0.5, "e50_w")],
+        extra_aggs={
+            "n": F.count(F.lit(1)),
+            "wmean_e": F.round(F.sum(w * e) / F.sum(w), 6),
+            "wstd_e": F.round(
+                F.sqrt(
+                    F.sum(w * e * e) / F.sum(w)
+                    - (F.sum(w * e) / F.sum(w)) * (F.sum(w * e) / F.sum(w))
+                ),
+                6,
             ),
-            6,
-        ).alias("wstd_e"),
-    )
-    p68 = pctl.weighted_percentile_agg(
-        base, ["classification"], F.abs(e), w, F.col("key"), 0.68, "abs_e68_w"
-    ).select("classification", "abs_e68_w")
-    p50 = pctl.weighted_percentile_agg(
-        base, ["classification"], e, w, F.col("key"), 0.5, "e50_w"
-    ).select("classification", "e50_w")
-    return aggs.join(p68, "classification").join(p50, "classification")
+        },
+    ).select("classification", "n", "wmean_e", "wstd_e", "abs_e68_w", "e50_w")
 
 
 # ================================================================= A17+ ======
@@ -1059,26 +1054,24 @@ def _zsw_oracle() -> str:
 
     pip = sj.pip_join_sql(_PIXC_PIP_SRC_SQL, N_POLYS)
     src = _ZSW_PTS_SQL.replace("{PIP}", pip)
-    p68 = pctl.weighted_percentile_sql(
-        src, ["poly_id"], "abs(e)", "height_w", "key", 0.68, "abs_e68_w"
+    return pctl.weighted_percentiles_fused_sql(
+        src,
+        ["poly_id"],
+        "height_w",
+        "key",
+        [("abs(e)", 0.68, "abs_e68_w")],
+        extra_aggs_sql={
+            "n_points": "COUNT(*)",
+            "wse_wmean": "ROUND(SUM(_w * height) / SUM(_w), 6)",
+            "area_total": "ROUND(SUM(pixel_area), 6)",
+        },
     )
-    return f"""
-WITH src AS ({src}),
-base AS (
-  SELECT poly_id, COUNT(*) AS n_points,
-         ROUND(SUM(height_w * height) / SUM(height_w), 6) AS wse_wmean,
-         ROUND(SUM(pixel_area), 6) AS area_total
-  FROM src GROUP BY 1
-),
-p68 AS ({p68})
-SELECT b.poly_id AS poly_id, b.n_points, b.wse_wmean, b.area_total,
-       p68.abs_e68_w AS abs_e68_w
-FROM base b JOIN p68 ON p68.poly_id = b.poly_id
-"""
 
 
 @q("zonal_stats_weighted", _zsw_oracle())
 def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region weighted mean + totals + weighted e68 in one shuffle after
+    the PIP join (the PIP candidate/refine runs ONCE; was twice)."""
     from raster_processor_spark.operators import percentiles as pctl
 
     pts = pixc_points_unique(spark, sf_dir)
@@ -1093,16 +1086,18 @@ def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pixel_area",
         (F.col("height") - F.col("pixel_area") / 5.0).alias("e"),
     )
-    base = src.groupBy("poly_id").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum(F.col("height_w") * F.col("height")) / F.sum("height_w"), 6).alias("wse_wmean"),
-        F.round(F.sum("pixel_area"), 6).alias("area_total"),
-    )
-    p68 = pctl.weighted_percentile_agg(
-        src, ["poly_id"], F.abs(F.col("e")), F.col("height_w"), F.col("key"),
-        0.68, "abs_e68_w",
-    ).select("poly_id", "abs_e68_w")
-    return base.join(p68, "poly_id")
+    return pctl.weighted_percentiles_fused(
+        src,
+        ["poly_id"],
+        F.col("height_w"),
+        F.col("key"),
+        [(F.abs(F.col("e")), 0.68, "abs_e68_w")],
+        extra_aggs={
+            "n_points": F.count(F.lit(1)),
+            "wse_wmean": F.round(F.sum(F.col("_w") * F.col("height")) / F.sum("_w"), 6),
+            "area_total": F.round(F.sum("pixel_area"), 6),
+        },
+    ).select("poly_id", "n_points", "wse_wmean", "area_total", "abs_e68_w")
 
 
 # ====================================================================== O1 ===
@@ -1242,6 +1237,87 @@ def cell_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((yb + 0.5) / 128.0 * 180.0 - 90.0).alias("center_lat"),
         ((xb + 0.5) / 256.0 * 360.0 - 180.0).alias("center_lon"),
     )
+
+
+# ============================================================== J4+J3+geo =====
+# Taylor re-geolocation: the reference's second entry point
+# (geoloc_raster.py:90-194) — height feedback, ECEF, nearest-sensor gather,
+# first-order height-constrained update, slant range
+
+def _regeoloc_oracle() -> str:
+    from raster_processor_spark.functions import geodesy as geod
+    from raster_processor_spark.plans import regeoloc as rg
+
+    pts0 = f"""
+SELECT key, lat, lon, height, height_w, {CELL7_SQL} AS cell_id
+FROM ({PIXC_PTS_SQL})
+"""
+    gathered = rg.nearest_sensor_gather_sql(
+        f"""
+SELECT p.key, p.lat, p.lon, p.height, c.h_new,
+       CAST(b.t0 + (p.key * {rg.TIME_SALT}) % (b.t1 - b.t0) AS BIGINT) AS tus
+FROM ({pts0}) p
+JOIN (SELECT cell_id,
+             SUM(ROUND(height * 100000.0) * height_w) / SUM(height_w) / 100000.0
+               AS h_new
+      FROM ({pts0}) GROUP BY 1) c ON c.cell_id = p.cell_id
+CROSS JOIN (SELECT MIN(stus) AS t0, MAX(stus) AS t1
+            FROM ({rg._sensors_sql()})) b
+""",
+        rg._sensors_sql(),
+        ["key", "lat", "lon", "height", "h_new"],
+    )
+    px, py, pz = geod.llh2xyz_sql("lat", "lon", "height")
+    nx, ny, nz = geod.ellipsoid_normal_sql("lat", "lon")
+    q_sql = f"""
+SELECT key, sx, sy, sz,
+       ({px} + (h_new - height) * {nx}) AS qx,
+       ({py} + (h_new - height) * {ny}) AS qy,
+       ({pz} + (h_new - height) * {nz}) AS qz
+FROM ({gathered})
+"""
+    llh = geod.xyz2llh_layered_sql(
+        q_sql, "qx", "qy", "qz", ["key", "sx", "sy", "sz", "qx", "qy", "qz"],
+        out=("lat2", "lon2", "h2"),
+    )
+    return f"""
+SELECT key,
+       ROUND(lat2, 6) AS lat_corr,
+       ROUND(lon2, 6) AS lon_corr,
+       ROUND(h2, 3) AS h_corr,
+       ROUND(sqrt((qx - sx) * (qx - sx) + (qy - sy) * (qy - sy)
+                  + (qz - sz) * (qz - sz)), 3) AS slant_range_m
+FROM ({llh})
+"""
+
+
+@q("regeoloc", _regeoloc_oracle())
+def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_processor_spark.functions import geodesy as geod
+    from raster_processor_spark.plans import regeoloc as rg
+
+    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+        "key", "lat", "lon", "height", "height_w", "cell_id"
+    )
+    w = F.col("height_w")
+    cells = pts.groupBy("cell_id").agg(
+        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)
+        .alias("h_new")
+    )
+    sens = rg._sensors(spark, sf_dir)
+    bounds = sens.agg(F.min("stus").alias("t0"), F.max("stus").alias("t1"))
+    ptsb = (
+        pts.join(F.broadcast(cells), "cell_id")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "tus",
+            (F.col("t0") + F.pmod(F.col("key") * rg.TIME_SALT, F.col("t1") - F.col("t0")))
+            .cast("long"),
+        )
+        .select("key", "lat", "lon", "height", "h_new", "tus")
+    )
+    g = rg.nearest_sensor_gather(ptsb, sens)
+    return rg.taylor_step(g)
 
 
 # ====================================================================== W3 ===

@@ -80,3 +80,59 @@ def test_partitioned_snapshot_prunes_cell_ranges(spark, tmp_path):
     man = store.manifest("tiles_part")
     assert man["row_count"] == 5_000
     assert all("/" in p["file"] or "=" in p["file"] for p in man["partitions"])
+
+
+def test_regeoloc_pipeline_resumes_mid_chain(spark, tmp_path):
+    """After stage 1 commits, a fresh run resumes from the snapshot (no
+    recompute) and the final output equals the registered regeoloc query."""
+    from raster_processor_spark.plans import regeoloc as rg
+    from raster_processor_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    store = SnapshotStore(str(tmp_path))
+
+    # first run commits both stages
+    out1 = rg.regeoloc_pipeline(spark, SF_ORACLE, store)
+    n1 = out1.count()
+    assert store.has("regeoloc_cells") and store.has("regeoloc_points")
+    cells_snap = store.latest_snapshot("regeoloc_cells")
+    points_snap = store.latest_snapshot("regeoloc_points")
+
+    # second run must RESUME: same snapshot ids, no new commits
+    out2 = rg.regeoloc_pipeline(spark, SF_ORACLE, store)
+    assert store.latest_snapshot("regeoloc_cells") == cells_snap
+    assert store.latest_snapshot("regeoloc_points") == points_snap
+
+    # pipeline output matches the one-shot registered query
+    q = REGISTRY["regeoloc"].spark(spark, SF_ORACLE)
+    a = sorted(map(tuple, out2.collect()))
+    b = sorted(map(tuple, q.collect()))
+    assert len(a) == n1 and a == b
+
+
+def test_regeoloc_resumes_after_partial_failure(spark, tmp_path):
+    """Mid-chain resume: stage 1 exists (simulating a crash before stage 2
+    committed) — the pipeline must consume the existing stage-1 snapshot,
+    not recompute it."""
+    from raster_processor_spark.plans import regeoloc as rg
+    from raster_processor_spark.queries import pixc_points, with_cell
+    from tests.conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(str(tmp_path))
+    # commit ONLY stage 1 (as the pipeline would), with a marker metric
+    pts = with_cell(pixc_points(spark, SF_ORACLE), 7).select(
+        "key", "height", "height_w", "cell_id"
+    )
+    w = F.col("height_w")
+    cells = pts.groupBy("cell_id").agg(
+        (F.sum(F.round(F.col("height") * 1e5) * w) / F.sum(w) / 1e5).alias("h_new")
+    )
+    store.write(cells, "regeoloc_cells", metrics={"marker": "pre-crash"})
+    snap = store.latest_snapshot("regeoloc_cells")
+
+    out = rg.regeoloc_pipeline(spark, SF_ORACLE, store)
+    assert out.count() > 0
+    # stage 1 was resumed, not recomputed: still the pre-crash snapshot
+    assert store.latest_snapshot("regeoloc_cells") == snap
+    assert store.has("regeoloc_points")
