@@ -6,7 +6,7 @@ Four families over the documents table:
   * MinHash + LSH  — shingle → minhash signature → band buckets → candidate
                      join → exact-Jaccard verify (the scale path: candidates
                      only, never all-pairs)
-  * SimHash        — 16-bit bit-majority fingerprint per document
+  * SimHash        — 32-bit bit-majority fingerprint per document
 
 All arithmetic (word ids, shingle ids, permutation hashes) is integer and
 deterministic, so each operator has a bit-exact DuckDB oracle twin. At
@@ -35,7 +35,8 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
     (7, 16807, 0),
 ]
 MERSENNE31 = 2147483647
-SIMHASH_A, SIMHASH_B, SIMHASH_BITS = 69069, 362437, 16
+SIMHASH_A, SIMHASH_B, SIMHASH_BITS = 69069, 362437, 32
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4  # 4 bands: pigeonhole guarantee for hamming <= 3
 WID_BASE = 131  # polynomial char-hash base (word id, no vocab table)
 SID_P = 1000003  # shingle combiner prime
 
@@ -165,9 +166,24 @@ def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted index, no all-pairs)."""
-    sh = shingles(spark, sf_dir)
+def df_capped(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles that occur in more than ``max_df`` documents (stop-
+    shingle removal). A hot shingle contributes df² rows to the inverted-
+    index self-join — the quadratic term that kills the exact path at corpus
+    scale; capping df bounds the join at |sids|·max_df². Jaccard stays
+    consistent because sizes are computed from the SAME capped table."""
+    dfs = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfs.where(F.col("df") <= max_df).select("sid"), "sid", "left_semi")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, max_df: int = 10_000
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted index, no all-pairs;
+    df-capped — see df_capped)."""
+    sh = df_capped(shingles(spark, sf_dir), max_df)
     return _jaccard_pairs(sh, None).where(F.col("jaccard") >= tau)
 
 
@@ -211,8 +227,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: bit b = majority of hash-bit b over
-    shingles (+1/−1 sum)."""
+    """32-bit SimHash per document: bit b = majority of hash-bit b over
+    shingles (+1/−1 sum). All 32 bit-majorities fuse into ONE groupBy."""
     sh = shingles(spark, sf_dir)
     h = F.pmod(F.lit(SIMHASH_A) * F.col("sid") + F.lit(SIMHASH_B), F.lit(1 << SIMHASH_BITS))
     hashed = sh.select("doc_id", h.alias("h"))
@@ -232,14 +248,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- SQL oracle twins --
 
-def ngram_jaccard_sql(tau: float) -> str:
+def ngram_jaccard_sql(tau: float, max_df: int = 10_000) -> str:
     return f"""
 WITH {SHINGLES_CTE_SQL},
+shc AS (SELECT doc_id, sid FROM sh
+        WHERE sid IN (SELECT sid FROM sh GROUP BY sid HAVING COUNT(*) <= {max_df})),
+sizesc AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY 1),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+           FROM shc a JOIN shc b ON a.sid = b.sid AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) AS jaccard
-FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+FROM common JOIN sizesc sa ON sa.doc_id = doc_a JOIN sizesc sb ON sb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
 """
 
@@ -282,18 +301,20 @@ SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM agged
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFrame:
-    """SimHash near-dup pairs: band the 16-bit fingerprint into 4 nibbles —
-    any pair within Hamming distance <= 3 shares at least one intact nibble
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes —
+    any pair within Hamming distance <= 3 shares at least one intact band
     (pigeonhole), so the candidate join touches only matching buckets; then
     verify exact Hamming distance. The standard simhash dedup layout at scale."""
     sig = simhash(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = None
     for b in range(4):
         nib = sig.select(
             "doc_id",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(15)).alias("bucket"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask)).alias("bucket"),
         )
         bands = nib if bands is None else bands.unionByName(nib)
     a = bands.select(
@@ -318,12 +339,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFra
 
 def simhash_pairs_sql(max_hamming: int) -> str:
     sig = simhash_sql().strip()
+    bb = SIMHASH_BAND_BITS
+    div = " ".join(f"WHEN {b} THEN {1 << (b * bb)}" for b in range(4))
     return f"""
 WITH sig AS ({sig}),
 bands AS (
   SELECT doc_id, simhash, b.band AS band,
-         (CAST(FLOOR(simhash / (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 16
-                                 WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) % 16)
+         (CAST(FLOOR(simhash / (CASE b.band {div} END)) AS BIGINT) % {1 << bb})
            AS bucket
   FROM sig CROSS JOIN (SELECT UNNEST(ARRAY[0, 1, 2, 3]) AS band) b
 ),

@@ -221,12 +221,16 @@ def regeoloc_pipeline(spark: SparkSession, sf_dir: str, store) -> DataFrame:
     height raster, stage 2 commits the gathered+corrected points. Each stage
     is a SnapshotStore.resume_or_compute — a re-run after a crash resumes
     from the last committed snapshot instead of recomputing."""
-    from raster_processor_spark.queries import pixc_points, with_cell
+    from raster_processor_spark.functions.cells import quad_cell_col
+    from raster_processor_spark.queries import pixc_points
+
+    def _pts():
+        return pixc_points(spark, sf_dir).withColumn(
+            "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
+        ).select("key", "lat", "lon", "height", "height_w", "cell_id")
 
     def stage1():
-        pts = with_cell(pixc_points(spark, sf_dir), 7).select(
-            "key", "lat", "lon", "height", "height_w", "cell_id"
-        )
+        pts = _pts()
         w = F.col("height_w")
         return pts.groupBy("cell_id").agg(
             (F.sum(F.round(F.col("height") * 1e5) * w) / F.sum(w) / 1e5).alias("h_new")
@@ -237,9 +241,7 @@ def regeoloc_pipeline(spark: SparkSession, sf_dir: str, store) -> DataFrame:
     )
 
     def stage2():
-        pts = with_cell(pixc_points(spark, sf_dir), 7).select(
-            "key", "lat", "lon", "height", "height_w", "cell_id"
-        )
+        pts = _pts()
         sens = _sensors(spark, sf_dir)
         bounds = sens.agg(F.min("stus").alias("t0"), F.max("stus").alias("t1"))
         ptsb = (

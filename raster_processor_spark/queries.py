@@ -1296,9 +1296,12 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark.functions import geodesy as geod
     from raster_processor_spark.plans import regeoloc as rg
 
-    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
-        "key", "lat", "lon", "height", "height_w", "cell_id"
-    )
+    # JVM-side cell id (same arithmetic as CELL7_SQL): the point table feeds
+    # two consumers (cell agg + gather), so the Arrow-UDF assignment would
+    # run twice; the codegen'd form costs nothing either way
+    pts = pixc_points(spark, sf_dir).withColumn(
+        "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
+    ).select("key", "lat", "lon", "height", "height_w", "cell_id")
     w = F.col("height_w")
     cells = pts.groupBy("cell_id").agg(
         (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)

@@ -67,3 +67,25 @@ def test_antimeridian_polygon_contributes_pairs(spark):
     pairs = REGISTRY["pip_join"].spark(spark, SF_ORACLE)
     n = pairs.where(pairs.poly_id == N_POLYS - 1).count()
     assert n > 0, "antimeridian polygon produced no containment pairs"
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    # cap at 2: the shingle present in 3 docs must vanish from the index,
+    # and Jaccard must be computed over the CAPPED sizes
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark.operators import dedup as dd
+
+    sh = spark.createDataFrame(
+        # sid 1 in docs 1..3 (hot), sid 2 in docs 1..2, sid 3 only doc 1
+        [(1, 1), (2, 1), (3, 1), (1, 2), (2, 2), (1, 3)],
+        "doc_id BIGINT, sid BIGINT",
+    )
+    capped = dd.df_capped(sh, 2)
+    got = sorted((r.doc_id, r.sid) for r in capped.collect())
+    assert got == [(1, 2), (1, 3), (2, 2)]
+    pairs = dd._jaccard_pairs(capped, None).collect()
+    # docs 1 and 2 share sid 2; capped sizes: doc1 has {2,3}, doc2 has {2}
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r.doc_a, r.doc_b) == (1, 2) and abs(r.jaccard - 0.5) < 1e-12
