@@ -358,3 +358,67 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    cluster_id = min doc id reachable). The canonical "keep one per
+    near-dup group" step of a training-data pipeline.
+
+    Iterative min-label propagation: each round joins labels to the edge
+    list and takes the elementwise min — O(graph diameter) rounds, one
+    shuffle per round, label table only (never edge^2). Near-dup graphs are
+    bushy with tiny diameters, so 2-4 rounds; at web scale you would swap
+    in large-star/small-star, which this loop's join shape is the inner
+    primitive of."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, tau).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(32):  # diameter bound; converges in a few rounds
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_sql(tau: float) -> str:
+    """DuckDB twin: transitive closure via WITH RECURSIVE (UNION dedups),
+    min reachable id per node."""
+    lsh = minhash_lsh_sql(tau).strip()
+    return f"""
+WITH RECURSIVE p AS ({lsh}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u
+"""

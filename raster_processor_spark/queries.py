@@ -207,12 +207,21 @@ FROM assigned GROUP BY 2
 """,
 )
 def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE base-table shuffle: aggregate at the finest res, then re-aggregate
+    the (much smaller) res-9 aggregate up the prefix hierarchy — counts are
+    re-aggregable, so coarser levels never touch the base table again (the
+    same trick a 100 TB rollup needs: |cells| << |points|)."""
     pts = with_cell(doc_points(spark, sf_dir), 9, "cell9")
-    parts = []
-    for res in (9, 8, 7):
-        cell = F.col("cell9") if res == 9 else quad_parent_col(F.col("cell9"), 9, res)
+    base9 = pts.groupBy(F.col("cell9").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    parts = [base9.select(F.lit(9).alias("res"), "cell_id", "n_rows")]
+    for res in (8, 7):
         parts.append(
-            pts.groupBy(cell.alias("cell_id")).agg(F.count(F.lit(1)).alias("n_rows"))
+            base9.groupBy(
+                quad_parent_col(F.col("cell_id"), 9, res).alias("cell_id")
+            )
+            .agg(F.sum("n_rows").alias("n_rows"))
             .select(F.lit(res).alias("res"), "cell_id", "n_rows")
         )
     out = parts[0]

@@ -113,6 +113,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbs.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))
 
 
+@q("dedup_clusters", dd.dedup_clusters_sql(LSH_TAU))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_clusters(spark, sf_dir, LSH_TAU)
+
+
 @q("dedup_simhash_pairs", dd.simhash_pairs_sql(3))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(spark, sf_dir, 3)
