@@ -89,3 +89,17 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     assert len(pairs) == 1
     r = pairs[0]
     assert (r.doc_a, r.doc_b) == (1, 2) and abs(r.jaccard - 0.5) < 1e-12
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    # plan-only (no execution): a CartesianProduct anywhere is an
+    # all-pairs explosion waiting for scale
+    from raster_processor_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = spec.spark(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
