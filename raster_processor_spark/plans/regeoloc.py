@@ -64,9 +64,12 @@ def nearest_sensor_gather(pts: DataFrame, sens: DataFrame) -> DataFrame:
     """pts(tus, ...) ⟕ nearest sens(stus, sx, sy, sz) by |tus − stus|.
 
     Day-bucketed union-window nearest join (exact; see module docstring)."""
-    off = pts.sparkSession.createDataFrame([(-1,), (0,), (1,)], "o INT")
-    s3 = sens.crossJoin(F.broadcast(off)).select(
-        (F.expr(f"stus div {BUCKET_US}") + F.col("o")).alias("bucket"),
+    # a point's prev-candidate outside its own bucket can only be the LAST
+    # sensor of the previous bucket, and its next-candidate the FIRST sensor
+    # of the following bucket — so only those boundary sensors replicate
+    # across buckets (2 rows per bucket, not 3x the whole sensor table)
+    base = sens.select(
+        F.expr(f"stus div {BUCKET_US}").alias("bucket"),
         F.col("stus").alias("t"),
         F.struct(
             F.col("stus").alias("t"),
@@ -74,6 +77,22 @@ def nearest_sensor_gather(pts: DataFrame, sens: DataFrame) -> DataFrame:
         ).alias("sv"),
         F.lit(0).alias("is_fact"),
     )
+    bounds_per_bucket = base.groupBy("bucket").agg(
+        F.min("sv").alias("first_sv"), F.max("sv").alias("last_sv")
+    )
+    firsts = bounds_per_bucket.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("first_sv.t").alias("t"),
+        F.col("first_sv").alias("sv"),
+        F.lit(0).alias("is_fact"),
+    )
+    lasts = bounds_per_bucket.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("last_sv.t").alias("t"),
+        F.col("last_sv").alias("sv"),
+        F.lit(0).alias("is_fact"),
+    )
+    s3 = base.unionByName(firsts).unionByName(lasts)
     f = pts.select(
         F.expr(f"tus div {BUCKET_US}").alias("bucket"),
         F.col("tus").alias("t"),
@@ -125,11 +144,21 @@ def nearest_sensor_gather_sql(pts_sql: str, sens_sql: str, pt_cols: list[str]) -
     return f"""
 WITH _pts AS ({pts_sql}),
 _sens AS ({sens_sql}),
+_sb AS (
+  SELECT CAST(stus // {BUCKET_US} AS BIGINT) AS bucket, stus AS t,
+         {{'t': stus, 'x': sx, 'y': sy, 'z': sz}} AS sv
+  FROM _sens
+),
+_bb AS (SELECT bucket, MIN(sv) AS first_sv, MAX(sv) AS last_sv FROM _sb GROUP BY 1),
 _s3 AS (
-  SELECT CAST(stus // {BUCKET_US} AS BIGINT) + o.o AS bucket, stus AS t,
-         {{'t': stus, 'x': sx, 'y': sy, 'z': sz}} AS sv,
-         0 AS is_fact, {", ".join(f"NULL AS {c}" for c in pt_cols)}
-  FROM _sens, (SELECT UNNEST(ARRAY[-1, 0, 1]) AS o) o
+  SELECT bucket, t, sv, 0 AS is_fact,
+         {", ".join(f"NULL AS {c}" for c in pt_cols)} FROM _sb
+  UNION ALL BY NAME
+  SELECT bucket - 1 AS bucket, first_sv.t AS t, first_sv AS sv, 0 AS is_fact,
+         {", ".join(f"NULL AS {c}" for c in pt_cols)} FROM _bb
+  UNION ALL BY NAME
+  SELECT bucket + 1 AS bucket, last_sv.t AS t, last_sv AS sv, 0 AS is_fact,
+         {", ".join(f"NULL AS {c}" for c in pt_cols)} FROM _bb
 ),
 _f AS (
   SELECT CAST(tus // {BUCKET_US} AS BIGINT) AS bucket, tus AS t,

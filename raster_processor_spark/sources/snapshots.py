@@ -195,3 +195,32 @@ class SnapshotStore:
         df = compute()
         self.write(df, table, lineage_cols=lineage_cols, metrics=metrics)
         return self.read(spark, table)
+
+
+# -------------------------------------------------------- bucketed tables ---
+# Co-located joins: two tables bucketed (and sorted) on the same key join
+# with NO shuffle on either side — the physical plan has zero Exchange
+# nodes under the SortMergeJoin. This is the storage-layout half of the
+# 100 TB join story (the reference re-reads rasters per granule and joins
+# by cell; at scale you bucket both sides by cell_id once at write time and
+# every downstream join is exchange-free).
+
+
+def write_bucketed(
+    df, table: str, bucket_col: str, n_buckets: int, root: str
+) -> str:
+    """Write ``df`` as a bucketed+sorted parquet table (external location
+    under ``root``); returns the catalog table name to join against."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", f"rps_{table}")
+    path = f"{root}/bucketed/{table}"
+    (
+        df.write.format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .saveAsTable(safe)
+    )
+    return safe

@@ -53,13 +53,32 @@ def streaming_cell_rollup(
     )
 
 
-def run_to_memory(df: DataFrame, name: str):
+def streaming_dedup(
+    spark: SparkSession, input_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence wins within the watermark
+    horizon (dropDuplicatesWithinWatermark ≡ the batch hash-groupBy dedup,
+    with state bounded by the watermark — the streaming twin of
+    dedup_exact)."""
+    s = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    keyed = s.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.xxhash64("event_type", "props").alias("content_hash"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     """Drain all available input (availableNow) into a memory sink; returns
-    the finished query. Test/driver helper."""
+    the finished query. Test/driver helper. Non-aggregating streams (e.g.
+    dedup) require append mode."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

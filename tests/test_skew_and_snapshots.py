@@ -136,3 +136,38 @@ def test_regeoloc_resumes_after_partial_failure(spark, tmp_path):
     # stage 1 was resumed, not recomputed: still the pre-crash snapshot
     assert store.latest_snapshot("regeoloc_cells") == snap
     assert store.has("regeoloc_points")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on cell_id must SortMergeJoin with ZERO Exchange
+    nodes — the co-located-join layout for repeated joins at scale."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark.queries import doc_points
+    from raster_processor_spark.functions.cells import quad_cell_col
+    from raster_processor_spark.sources import snapshots as snap
+    from tests.conftest import SF_ORACLE
+
+    pts = doc_points(spark, SF_ORACLE).withColumn(
+        "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
+    )
+    t1 = snap.write_bucketed(
+        pts.select("key", "cell_id", "n_chars"), "b_pts", "cell_id", 8, str(tmp_path)
+    )
+    aggd = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    t2 = snap.write_bucketed(aggd, "b_cells", "cell_id", 8, str(tmp_path))
+
+    # disable broadcast so the plan must choose bucket-to-bucket SMJ (at
+    # real scale both sides are too big to broadcast — that is the point)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t1).join(spark.table(t2), "cell_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == pts.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {t1}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")

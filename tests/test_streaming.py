@@ -78,3 +78,24 @@ def test_stateful_operator_matches_batch(spark, tmp_path):
     )
     want = {r.user_id: (r.n, r.s) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """First-occurrence-per-content-hash: the streaming dedup's kept set
+    must equal the batch groupBy dedup's kept set on the same input."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark.streaming import jobs
+
+    src = _stage_input(tmp_path)
+    out = jobs.run_to_memory(jobs.streaming_dedup(spark, src), "dedup_t", mode="append")
+    got = spark.sql("SELECT content_hash, COUNT(*) AS n FROM dedup_t GROUP BY 1")
+    # streaming kept exactly one row per content hash
+    assert got.where("n > 1").count() == 0
+    batch = (
+        spark.read.parquet(src)
+        .select(F.xxhash64("event_type", "props").alias("content_hash"))
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    out.stop()
