@@ -122,13 +122,15 @@ def knn_join(
                 "_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit)
             )
         )
+        # cache the (tiny, <= k rows/query) accepted set and derive the
+        # resolved-key set FROM it — a query is _ok iff it emits rows here,
+        # so the expensive candidate join + window evaluates ONCE per round
+        # instead of once for `got` and again for `resolved_keys`
         got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
             "qkey", "nkey", "dist2", "rank"
-        )
+        ).cache()
         accepted = got if accepted is None else accepted.unionByName(got)
-        resolved_keys = (
-            ranked.where(F.col("_ok")).select(F.col("qkey").alias("key")).distinct()
-        )
+        resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti").cache()
         if unresolved.isEmpty():
             break

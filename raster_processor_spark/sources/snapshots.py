@@ -224,3 +224,31 @@ def write_bucketed(
         .saveAsTable(safe)
     )
     return safe
+
+
+def merge_snapshot(
+    store: "SnapshotStore",
+    spark,
+    table: str,
+    updates,
+    key_cols: list[str],
+    lineage_cols: dict[str, str] | None = None,
+):
+    """MERGE (upsert) into a snapshot table: rows in ``updates`` replace
+    current rows with the same key; everything else carries over — committed
+    as a NEW immutable snapshot (copy-on-write, like the reference emitting
+    a fresh product per granule rather than editing in place). The previous
+    snapshot stays readable (time travel via read(snap_id)).
+
+    Plan shape: one left_anti join current⟕updates on the key + union —
+    a single shuffle on the key at any scale."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if store.has(table):
+        current = store.read(spark, table)
+        kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    store.write(merged, table, lineage_cols=lineage_cols)
+    return store.read(spark, table)

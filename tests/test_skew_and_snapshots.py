@@ -171,3 +171,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql(f"DROP TABLE IF EXISTS {t1}")
     spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_merge_snapshot_upserts_and_time_travels(spark, tmp_path):
+    from raster_processor_spark.sources.snapshots import SnapshotStore, merge_snapshot
+
+    store = SnapshotStore(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    store.write(base, "m")
+    snap0 = store.latest_snapshot("m")
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    out = merge_snapshot(store, spark, "m", updates, ["k"])
+    got = sorted((r.k, r.tag, r.v) for r in out.collect())
+    assert got == [(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+    # previous snapshot still readable (time travel)
+    old = sorted((r.k, r.tag, r.v) for r in store.read(spark, "m", snap0).collect())
+    assert old == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
