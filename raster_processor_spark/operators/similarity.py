@@ -1,7 +1,8 @@
 """Similarity search over embedding columns.
 
-* brute-force cosine top-k — the exact baseline (JVM-side fold over the
-  array column; no Python in the loop);
+* brute-force cosine top-k — the exact baseline (cogrouped slice scoring
+  with a broadcast-joined query set: no driver collect, slice-local top-k
+  then one global rank window);
 * IVF-bucketed ANN — cluster assignment (numpy pandas UDF) + probe-N search,
   the scale path: the candidate join touches only probed clusters. On this
   synthetic UNIFORM corpus recall tracks the probe fraction (no cluster

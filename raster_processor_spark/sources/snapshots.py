@@ -252,3 +252,44 @@ def merge_snapshot(
         merged = updates
     store.write(merged, table, lineage_cols=lineage_cols)
     return store.read(spark, table)
+
+
+def refresh_cell_agg(
+    store: "SnapshotStore",
+    spark,
+    table: str,
+    delta_points,
+    cell_col: str = "cell_id",
+    sum_cols: dict[str, str] | None = None,
+):
+    """Incremental aggregate maintenance (continuous rollup): fold a DELTA
+    point set into a stored per-cell aggregate without touching the points
+    already aggregated — the arriving-tile path (reference: granules arrive
+    per pass and the product is re-emitted; at 100 TB you re-aggregate the
+    delta, never the history).
+
+    The stored state keeps MERGEABLE partials only (counts and sums — never
+    averages); readers derive ratios at query time. One groupBy over the
+    delta + one key-join merge with the stored state per refresh.
+    """
+    from pyspark.sql import functions as F
+
+    sum_cols = sum_cols or {}
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(expr_col).alias(out) for out, expr_col in sum_cols.items()
+    ]
+    delta_agg = delta_points.groupBy(cell_col).agg(*aggs)
+    if store.has(table):
+        cur = store.read(spark, table)
+        merged = (
+            cur.unionByName(delta_agg)
+            .groupBy(cell_col)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(out).alias(out) for out in sum_cols],
+            )
+        )
+    else:
+        merged = delta_agg
+    store.write(merged, table, lineage_cols={"cell": cell_col})
+    return store.read(spark, table)

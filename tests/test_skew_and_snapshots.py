@@ -193,3 +193,36 @@ def test_merge_snapshot_upserts_and_time_travels(spark, tmp_path):
     # previous snapshot still readable (time travel)
     old = sorted((r.k, r.tag, r.v) for r in store.read(spark, "m", snap0).collect())
     assert old == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_incremental_cell_agg_matches_full_recompute(spark, tmp_path):
+    """Folding two deltas must equal aggregating everything at once, and the
+    second refresh must NOT rescan the first delta (state is mergeable
+    partials, not raw points)."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark.queries import doc_points
+    from raster_processor_spark.functions.cells import quad_cell_col
+    from raster_processor_spark.sources.snapshots import SnapshotStore, refresh_cell_agg
+    from tests.conftest import SF_ORACLE
+
+    store = SnapshotStore(str(tmp_path))
+    pts = doc_points(spark, SF_ORACLE).withColumn(
+        "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
+    )
+    d1 = pts.where("key % 2 = 0")
+    d2 = pts.where("key % 2 = 1")
+    refresh_cell_agg(store, spark, "cagg", d1, sum_cols={"sum_chars": "n_chars"})
+    out = refresh_cell_agg(store, spark, "cagg", d2, sum_cols={"sum_chars": "n_chars"})
+
+    full = pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n_chars").alias("sum_chars")
+    )
+    a = sorted(map(tuple, out.select("cell_id", "n_rows", "sum_chars").collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    # two refreshes -> two snapshots (immutable history)
+    snaps = sorted(
+        p for p in __import__("os").listdir(str(tmp_path) + "/cagg") if p.startswith("snap-")
+    )
+    assert len(snaps) == 2
