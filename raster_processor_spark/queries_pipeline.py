@@ -121,3 +121,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("dedup_simhash_pairs", dd.simhash_pairs_sql(3))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(spark, sf_dir, 3)
+
+
+from raster_processor_spark.operators import sketches as sk
+
+CMS_MIN_EST = 50
+
+
+@q("cms_heavy_hitters", sk.cms_heavy_hitters_sql(CMS_MIN_EST))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.cms_heavy_hitters(spark, sf_dir, CMS_MIN_EST)
+
+
+@q("hll_distinct", sk.hll_distinct_sql())
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sk.hll_distinct(spark, sf_dir)
