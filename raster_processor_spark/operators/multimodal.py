@@ -134,7 +134,10 @@ def _expected_decode_rows(n: int) -> list[tuple]:
 
 def decode_stats_oracle_sql(n: int) -> str:
     vals = ",\n".join(
-        f"('{iid}', CAST({m!r} AS DOUBLE), CAST({s!r} AS DOUBLE), "
+        # repr quoted as a string: DuckDB parses a bare numeric literal as
+        # DECIMAL first, which loses the last bit of the double; the
+        # string→double parse is correctly rounded and round-trips exactly.
+        f"('{iid}', CAST('{m!r}' AS DOUBLE), CAST('{s!r}' AS DOUBLE), "
         f"CAST({lo} AS INTEGER), CAST({hi} AS INTEGER), CAST({nb} AS BIGINT))"
         for iid, m, s, lo, hi, nb in _expected_decode_rows(n)
     )
