@@ -57,22 +57,39 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
+    # Two passes per query. Pass 1 ("cold") includes per-plan whole-stage
+    # codegen compilation + JVM JIT — a fixed per-session cost that dominates
+    # wall time at sf0.1 (measured: up to 80% of a first run) but is
+    # irrelevant at production scale. Pass 2 ("warm") is the steady-state
+    # engine cost — the number that extrapolates to 100 TB. Both reported;
+    # `value` stays the pass-1 total for continuity with BENCH_r01.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].spark
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        # drop intra-query persist()/cache() leftovers so the warm pass
+        # measures a full fresh computation (not a CacheManager canonical-
+        # plan hit) and queries don't pay GC pressure for earlier queries'
+        # cached RDDs
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }

@@ -18,7 +18,7 @@ Algorithm — ONE declarative plan, zero driver coordination:
 
 The escalation is composed LAZILY: each phase's input is the previous
 phase's queries anti-joined against its resolved keys, and the phases union
-into a single output plan. When ring 0 resolves everything, AQE's
+into a single output plan. When the first ring resolves everything, AQE's
 empty-relation propagation collapses the later phases to empty relations at
 runtime — the escalation costs nothing when unused, and there are no
 per-round count()/isEmpty() driver round-trips (which dominated wall time:
@@ -57,17 +57,19 @@ def knn_join(
     points: DataFrame,
     k: int,
     res: int | None = None,
-    rings: tuple[int, ...] = (2, 8),
+    rings: tuple[int, ...] = (3, 12),
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
-    ``res`` defaults to a density heuristic (~8 points per cell, so ring 2
-    usually resolves in one round)."""
+    ``res`` defaults to a density heuristic (~0.6 points per cell; the
+    default disk(3) = 49-cell first phase then resolves nearly every query
+    in one round, and the ring-12 second phase — empty in the common case —
+    bounds the brute tail at corpus scale)."""
     spark = points.sparkSession
     pts = points.select("key", "lat", "lon")
     if res is None:
         # 2^(2res+1) cells total; aim for ~0.6 points per cell — with
-        # disk(2) = 25 cells that is ~15 candidates per query, an order of
+        # disk(3) = 49 cells that is ~30 candidates per query, an order of
         # magnitude less window work than denser grids (measured 3-5x faster
         # than ~8/cell), and the ring escalation + brute tail keep the
         # result exact whatever the density guess
