@@ -62,3 +62,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def get_spark_submitted(app_name: str = "raster_processor_spark") -> SparkSession:
+    """Engine session for jobs launched via ``spark-submit`` — applies the
+    same engine configs as get_spark but NEVER sets the master or core
+    count: those belong to the launcher (``spark-submit --master ...``),
+    which is how the same job script runs unchanged on a real multi-executor
+    cluster. Shuffle partitions default from the launcher-provided
+    parallelism (2x, the engine heuristic)."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    par = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * par, 8)))
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
