@@ -1,0 +1,147 @@
+"""Sequence packing: assign documents to fixed-token-capacity training bins.
+
+The operator a pretraining data pipeline runs right before tokenized-example
+serialization: group documents into bins of at most ``capacity`` tokens so
+batch assembly wastes as little padding as possible.
+
+Greedy first-fit packing is a sequential recurrence (each bin boundary
+depends on every earlier document), so it cannot shuffle-parallelize. The
+engine uses **size-class packing** (the slab-allocator shape): each doc's
+token count rounds UP to the next power-of-two slot size; within a
+(source, size_class) stratum, slots of size s pack capacity/s docs per bin
+— so bins never overflow BY CONSTRUCTION, every worker packs its strata
+independently after one shuffle, and the assignment is a pure function of
+(source, size_class, rank-by-doc_id): deterministic, restart-stable, and
+bit-identical in the DuckDB twin. Padding waste is bounded by 2x (power-of-
+two rounding) and measured, not hidden: pack_stats reports the realized
+fill ratio per stratum.
+
+At 10^12 docs: one shuffle on (source, size_class) — a few hundred strata;
+skewed strata (one giant size class) salt by splitting rank ranges, since
+bin ids are rank-arithmetic and salting just offsets the rank base. Docs
+longer than ``capacity`` map to the overflow class (own bin each, flagged)
+— the chunk-long-docs decision belongs to the tokenizer upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CAPACITY = 2048
+MIN_SLOT = 16
+
+
+def _size_class_col(n_tokens, capacity: int):
+    """Next power of two >= n_tokens, clamped to [MIN_SLOT, capacity].
+    ceil(log2(n)) via bit-length arithmetic on int64: 2^ceil(log2(n)) is the
+    smallest power of two p with p >= n, found by doubling from MIN_SLOT —
+    expressed as a closed-form chain of WHENs (log2 has float-rounding
+    hazards at exact powers of two, so stay in integers)."""
+    expr = F.lit(capacity)
+    s = capacity // 2
+    while s >= MIN_SLOT:
+        expr = F.when(n_tokens <= s, F.lit(s)).otherwise(expr)
+        s //= 2
+    return expr
+
+
+def _size_class_sql(n_tokens: str, capacity: int) -> str:
+    expr = f"{capacity}"
+    s = capacity // 2
+    while s >= MIN_SLOT:
+        expr = f"(CASE WHEN {n_tokens} <= {s} THEN {s} ELSE {expr} END)"
+        s //= 2
+    return expr
+
+
+def pack_assignments(
+    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY
+) -> DataFrame:
+    """(doc_id, source, n_tokens, size_class, bin_id, overflow).
+
+    bin_id is dense within (source, size_class): floor(rank / docs_per_bin).
+    One shuffle (the stratum window); everything else is codegen exprs."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sc = _size_class_col(F.col("n_tokens"), capacity)
+    d = d.withColumn("size_class", sc).withColumn(
+        "overflow", (F.col("n_tokens") > capacity).cast("int")
+    )
+    w = Window.partitionBy("source", "size_class").orderBy("doc_id")
+    per_bin = F.greatest(F.lit(capacity) / F.col("size_class"), F.lit(1)).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("size_class").cast("long").alias("size_class"),
+        F.floor((F.row_number().over(w) - 1) / per_bin).alias("bin_id"),
+        "overflow",
+    )
+
+
+def pack_assignments_sql(capacity: int = CAPACITY) -> str:
+    sc = _size_class_sql("n_tokens", capacity)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_tokens, {sc} AS size_class,
+         (CASE WHEN n_tokens > {capacity} THEN 1 ELSE 0 END) AS overflow
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(size_class AS BIGINT) AS size_class,
+       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source, size_class
+                                      ORDER BY doc_id) - 1)
+                  / GREATEST({capacity} // size_class, 1)) AS BIGINT) AS bin_id,
+       overflow
+FROM s
+"""
+
+
+def pack_stats(
+    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY
+) -> DataFrame:
+    """Per-(source, size_class) packing efficiency: bins used, docs, token
+    fill ratio (sum tokens / bins*capacity) — the padding-waste audit. The
+    ratio divides two exact integers, so it is bit-deterministic."""
+    a = pack_assignments(spark, sf_dir, capacity)
+    return (
+        a.groupBy("source", "size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "source",
+            "size_class",
+            "n_docs",
+            "n_bins",
+            "sum_tokens",
+            (
+                F.col("sum_tokens").cast("double")
+                / (F.col("n_bins") * F.lit(capacity))
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+def pack_stats_sql(capacity: int = CAPACITY) -> str:
+    return f"""
+WITH a AS ({pack_assignments_sql(capacity)})
+SELECT source, size_class,
+       COUNT(*) AS n_docs,
+       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(bin_id) + 1) * {capacity})
+         AS fill_ratio
+FROM a GROUP BY 1, 2
+"""

@@ -136,3 +136,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("hll_distinct", sk.hll_distinct_sql())
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_distinct(spark, sf_dir)
+
+
+from raster_processor_spark.operators import packing as pk
+
+
+@q("pack_assignments", pk.pack_assignments_sql())
+def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pk.pack_assignments(spark, sf_dir)
+
+
+@q("pack_stats", pk.pack_stats_sql())
+def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pk.pack_stats(spark, sf_dir)
