@@ -149,3 +149,16 @@ def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("pack_stats", pk.pack_stats_sql())
 def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_stats(spark, sf_dir)
+
+
+from raster_processor_spark.operators import sampling as smp
+
+
+@q("rate_sample", smp.rate_sample_sql())
+def rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.rate_sample(spark, sf_dir)
+
+
+@q("exact_k_sample", smp.exact_k_sample_sql())
+def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.exact_k_sample(spark, sf_dir)
