@@ -112,6 +112,145 @@ def with_georef(images: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------- image near-dup (phash) --
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16  # 4 x 16: pigeonhole-complete for hamming <= 3
+
+
+def _variant_pixels(px: np.ndarray) -> np.ndarray:
+    """The near-dup perturbation: invert the top-left 1/64 patch and
+    re-encode lossy — the synthetic stand-in for a re-crop/re-compress
+    near-duplicate (measured phash Hamming 1-7 vs the original)."""
+    h, w, _ = px.shape
+    v = px.copy()
+    v[: h // 8, : w // 8] = 255 - v[: h // 8, : w // 8]
+    return v
+
+
+def image_phashes(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(key, phash) for each id's ORIGINAL image (key = 2*id) and its
+    perturbed q8 re-encode (key = 2*id+1) — the full decode path runs on
+    the workers (Arrow-batched mapInPandas), never per-row Python in a
+    Spark expression."""
+    import pandas as pd
+
+    from raster_processor_spark import codec
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, hashes = [], []
+            for i in pdf[id_col]:
+                iid = f"img_{int(i):012d}"
+                w, h = codec.dims_for(iid)
+                fmt = codec.fmt_for(iid)
+                px = codec.gen_pixels(iid, w, h)
+                dec = codec.decode(codec.encode(px, fmt), w, h, fmt)
+                keys.append(2 * int(i))
+                hashes.append(codec.phash64(dec))
+                v = _variant_pixels(px)
+                vdec = codec.decode(codec.encode(v, "q8"), w, h, "q8")
+                keys.append(2 * int(i) + 1)
+                hashes.append(codec.phash64(vdec))
+            yield pd.DataFrame({"key": keys, "phash": hashes})
+
+    return ids_df.select(id_col).mapInPandas(run, "key BIGINT, phash BIGINT")
+
+
+def image_phash_pairs(
+    spark: SparkSession, sf_dir: str, n: int, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs by banded phash Hamming join.
+
+    The dedup-family layout applied to the IMAGE payload: band the 64-bit
+    perceptual hash into 4 x 16 bits — any pair within Hamming <= 3 shares
+    an intact band (pigeonhole), so candidates come from equi-joining
+    (band, bucket) buckets, never all-pairs; exact bit_count verify on
+    candidates only. At 10^12 images the band join shuffles 4 rows/image
+    of (16-bit bucket, key) — the standard production phash-dedup shape.
+
+    Note on the fixture: every synthetic image shares a smooth gradient, so
+    phashes cluster and MANY cross-image pairs genuinely sit within Hamming
+    3 (the oracle confirms them bit-exactly) — which is exactly the hot-
+    bucket skew a production phash index sees on near-flat photos; the
+    banded join absorbs it because buckets, not pairs, are the join keys."""
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < n)
+        .repartition(8)
+    )
+    sig = image_phashes(ids)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = None
+    for b in range(PHASH_BANDS):
+        nib = sig.select(
+            "key",
+            "phash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("phash"), b * PHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        bands = nib if bands is None else bands.unionByName(nib)
+    a = bands.select(
+        F.col("key").alias("key_a"), F.col("phash").alias("ph_a"), "band", "bucket"
+    )
+    b2 = bands.select(
+        F.col("key").alias("key_b"), F.col("phash").alias("ph_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+def _expected_phash_rows(n: int) -> list[tuple[int, int]]:
+    from raster_processor_spark import codec
+
+    rows = []
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        w, h = codec.dims_for(iid)
+        fmt = codec.fmt_for(iid)
+        px = codec.gen_pixels(iid, w, h)
+        dec = codec.decode(codec.encode(px, fmt), w, h, fmt)
+        rows.append((2 * i, codec.phash64(dec)))
+        v = _variant_pixels(px)
+        vdec = codec.decode(codec.encode(v, "q8"), w, h, "q8")
+        rows.append((2 * i + 1, codec.phash64(vdec)))
+    return rows
+
+
+def image_phash_pairs_sql(n: int, max_hamming: int = 3) -> str:
+    """DuckDB twin: the same golden phashes (seeded codec → VALUES), paired
+    brute-force — equivalent to the banded join because 4 x 16 banding is
+    candidate-complete for Hamming <= 3."""
+    vals = ",\n".join(
+        f"(CAST({k} AS BIGINT), CAST({p} AS BIGINT))"
+        for k, p in _expected_phash_rows(n)
+    )
+    return f"""
+WITH sig(key, phash) AS (VALUES {vals}),
+ids AS (SELECT 2 * doc_id AS key FROM documents WHERE doc_id < {n}
+        UNION ALL
+        SELECT 2 * doc_id + 1 FROM documents WHERE doc_id < {n}),
+s AS (SELECT sig.key, sig.phash FROM sig JOIN ids USING (key))
+SELECT a.key AS key_a, b.key AS key_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.key < b.key
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
 # ------------------------------------------------------- golden SQL oracles --
 # decode_stats / resize_thumbs are pure functions of the image ids (seeded
 # codec), so their DuckDB oracle is a precomputed expected table from the

@@ -162,3 +162,11 @@ def rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("exact_k_sample", smp.exact_k_sample_sql())
 def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.exact_k_sample(spark, sf_dir)
+
+
+_PHASH_N, _PHASH_MAX_HAM = 300, 3
+
+
+@q("dedup_image_phash", _mm.image_phash_pairs_sql(_PHASH_N, _PHASH_MAX_HAM))
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.image_phash_pairs(spark, sf_dir, _PHASH_N, _PHASH_MAX_HAM)

@@ -42,3 +42,23 @@ def test_brute_topk_plan_has_no_cartesian(spark):
     plan = sim.ann_brute_topk(spark, SF_ORACLE, 10, 25)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_image_phash_pairs_recover_planted_variants(spark):
+    """Every planted (original, q8-perturbed-variant) pair with true phash
+    Hamming <= tau must appear in the banded join output (pigeonhole
+    completeness of 4x16 banding for Hamming <= 3)."""
+    from raster_processor_spark import codec
+    from raster_processor_spark.operators import multimodal as mm
+
+    n, tau = 60, 3
+    out = mm.image_phash_pairs(spark, "/root/testdata/sf0.01", n, tau)
+    got = {(r.key_a, r.key_b) for r in out.collect()}
+    planted = 0
+    rows = dict(mm._expected_phash_rows(n))
+    for i in range(n):
+        ham = bin(rows[2 * i] ^ rows[2 * i + 1]).count("1")
+        if ham <= tau:
+            planted += 1
+            assert (2 * i, 2 * i + 1) in got
+    assert planted > 10  # the fixture plants a meaningful number
