@@ -35,8 +35,13 @@ MINHASH_PERMS: list[tuple[int, int, int]] = [
     (7, 16807, 0),
 ]
 MERSENNE31 = 2147483647
-SIMHASH_A, SIMHASH_B, SIMHASH_BITS = 69069, 362437, 32
-SIMHASH_BAND_BITS = SIMHASH_BITS // 4  # 4 bands: pigeonhole guarantee for hamming <= 3
+# 63-bit simhash from two independent LCG words (32 + 31 bits): 63 rather
+# than 64 keeps the top bit clear so the fingerprint stays positive in
+# int64 — Spark would wrap silently and DuckDB would raise on bit 63.
+# (offset, nbits, a, b) per word; a*sid < 2^63 since sid < 2^31.
+SIMHASH_WORDS = ((0, 32, 69069, 362437), (32, 31, 1664525, 1013904223))
+SIMHASH_BITS = sum(nb for _, nb, _, _ in SIMHASH_WORDS)  # 63
+SIMHASH_BAND_BITS = 16  # 4 bands x 16 bits cover all 63: hamming <= 3 pigeonhole
 WID_BASE = 131  # polynomial char-hash base (word id, no vocab table)
 SID_P = 1000003  # shingle combiner prime
 
@@ -227,16 +232,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: bit b = majority of hash-bit b over
-    shingles (+1/−1 sum). All 32 bit-majorities fuse into ONE groupBy."""
+    """63-bit SimHash per document: bit b = majority of hash-bit b over
+    shingles (+1/−1 sum). All 63 bit-majorities fuse into ONE groupBy; the
+    hash words are two independent 32/31-bit LCGs of the shingle id."""
     sh = shingles(spark, sf_dir)
-    h = F.pmod(F.lit(SIMHASH_A) * F.col("sid") + F.lit(SIMHASH_B), F.lit(1 << SIMHASH_BITS))
-    hashed = sh.select("doc_id", h.alias("h"))
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(1 << nb)).alias(f"h{off}")
+            for off, nb, a, b in SIMHASH_WORDS
+        ],
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+            F.when(
+                F.shiftright(F.col(f"h{off}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{off + i}")
+        for off, nb, _, _ in SIMHASH_WORDS
+        for i in range(nb)
     ]
     agged = hashed.groupBy("doc_id").agg(*bit_sums)
     word = None
@@ -283,25 +297,29 @@ WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
 
 
 def simhash_sql() -> str:
-    m = 1 << SIMHASH_BITS
+    hash_cols = ", ".join(
+        f"({a} * sid + {b}) % {1 << nb} AS h{off}" for off, nb, a, b in SIMHASH_WORDS
+    )
     bit_sums = ",\n       ".join(
-        f"SUM(CASE WHEN (CAST(FLOOR(h / {1 << b}.0) AS BIGINT) % 2) = 1 "
-        f"THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        f"SUM(CASE WHEN (CAST(FLOOR(h{off} / {1 << i}.0) AS BIGINT) % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{off + i}"
+        for off, nb, _, _ in SIMHASH_WORDS
+        for i in range(nb)
     )
     word = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     )
     return f"""
 WITH {SHINGLES_CTE_SQL},
-hashed AS (SELECT doc_id, ({SIMHASH_A} * sid + {SIMHASH_B}) % {m} AS h FROM sh),
+hashed AS (SELECT doc_id, {hash_cols} FROM sh),
 agged AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM agged
 """
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes —
+    """SimHash near-dup pairs: band the 63-bit fingerprint into 4 x 16 bits —
     any pair within Hamming distance <= 3 shares at least one intact band
     (pigeonhole), so the candidate join touches only matching buckets; then
     verify exact Hamming distance. The standard simhash dedup layout at scale."""
