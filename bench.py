@@ -44,6 +44,9 @@ HEADLINE = [
     "weighted_error_metrics",
     "regeoloc",
     "dedup_embedding_cosine",
+    "dedup_image_phash",
+    "pack_stats",
+    "exact_k_sample",
 ]
 
 
