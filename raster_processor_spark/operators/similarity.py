@@ -252,6 +252,67 @@ def _nearest_centroid_udf(centroids: np.ndarray):
     return _assign
 
 
+def ann_ivf_topk_sql(
+    k: int, query_mod: int, n_centroids: int = 16, nprobe: int = 12
+) -> str:
+    """DuckDB twin of ann_ivf_topk: same fixed centroid sample, same argmax
+    cluster assignment (ties by centroid id — numpy argmax keeps the first
+    max), same probe set, same fold-exact cosine and (cosine DESC, id ASC)
+    tie order. The assignment/probe ORDERINGS compare numpy's normalized
+    matmul against the SQL fold — equal up to ~1e-16, which only matters on
+    exact centroid-cosine ties (continuous data: negligible, and exact
+    duplicate vectors order identically anyway)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.embedding', 'c.ce')} DESC,
+                                     c.cid ASC) AS r
+  FROM embeddings e CROSS JOIN cent c
+),
+corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS ne, cid AS cluster
+  FROM asg WHERE r = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos('q.embedding', 'c.ce')} DESC,
+                                     c.cid ASC) AS pr
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT p.query_id, n.neighbor_id, {cos('p.qe', 'n.ne')} AS cosine
+  FROM probes p JOIN corpus n ON p.cluster = n.cluster
+  WHERE p.pr <= {nprobe} AND p.query_id <> n.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, k: int, query_mod: int,
     n_centroids: int = 16, nprobe: int = 12,
