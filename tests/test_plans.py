@@ -103,3 +103,40 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_no_global_window_in_any_registered_query(spark):
+    # plan-only: a Window whose partition spec is empty moves ALL rows to
+    # one task (the round-1 vocab-window scale killer class). In the plan
+    # text, windowspecdefinition's first top-level argument is an ORDER
+    # expression (ends with NULLS FIRST/LAST) iff the partition list is
+    # empty.
+    import re
+
+    from raster_processor_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    def first_top_level_arg(s: str) -> str:
+        depth, start = 0, 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return s[start:i]
+        return s
+
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = (
+            spec.spark(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            rest = plan[m.end():]
+            arg0 = first_top_level_arg(rest)
+            if arg0.strip().endswith(("NULLS FIRST", "NULLS LAST")):
+                offenders.append(name)
+                break
+    assert not offenders, f"partition-less (single-task) window in: {offenders}"
