@@ -56,12 +56,21 @@ def _size_class_sql(n_tokens: str, capacity: int) -> str:
 
 
 def pack_assignments(
-    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY
+    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY,
+    salt_splits: int = 1,
 ) -> DataFrame:
     """(doc_id, source, n_tokens, size_class, bin_id, overflow).
 
     bin_id is dense within (source, size_class): floor(rank / docs_per_bin).
-    One shuffle (the stratum window); everything else is codegen exprs."""
+    One shuffle (the stratum window); everything else is codegen exprs.
+
+    ``salt_splits`` > 1 breaks hot-stratum skew: the rank window partitions
+    by (stratum, salt) where salt = hash(doc_id) % S, and bins interleave as
+    bin = salt + S * floor(rank / per_bin) — still collision-free and
+    overflow-free by the same rank arithmetic, at the cost of up to S
+    partial (under-filled) bins per stratum instead of 1. At corpus scale a
+    single stratum can hold ~n/80 docs (80 (source, size_class) strata), so
+    the salted window is what keeps one task from sorting it alone."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
     )
@@ -69,16 +78,26 @@ def pack_assignments(
     d = d.withColumn("size_class", sc).withColumn(
         "overflow", (F.col("n_tokens") > capacity).cast("int")
     )
-    w = Window.partitionBy("source", "size_class").orderBy("doc_id")
     per_bin = F.greatest(F.lit(capacity) / F.col("size_class"), F.lit(1)).cast(
         "long"
     )
+    if salt_splits > 1:
+        from raster_processor_spark.operators.sampling import _mix_col
+
+        d = d.withColumn("salt", F.pmod(_mix_col(F.col("doc_id")), F.lit(salt_splits)))
+        w = Window.partitionBy("source", "size_class", "salt").orderBy("doc_id")
+        bin_id = F.col("salt") + F.lit(salt_splits) * F.floor(
+            (F.row_number().over(w) - 1) / per_bin
+        )
+    else:
+        w = Window.partitionBy("source", "size_class").orderBy("doc_id")
+        bin_id = F.floor((F.row_number().over(w) - 1) / per_bin)
     return d.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("size_class").cast("long").alias("size_class"),
-        F.floor((F.row_number().over(w) - 1) / per_bin).alias("bin_id"),
+        bin_id.cast("long").alias("bin_id"),
         "overflow",
     )
 

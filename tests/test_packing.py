@@ -51,3 +51,27 @@ def test_fill_ratio_beats_power_of_two_floor(spark):
 def test_single_exchange_in_assignment_plan(spark):
     plan = pk.pack_assignments(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_salted_packing_keeps_invariants(spark):
+    """salt_splits > 1 (the hot-stratum skew breaker) must preserve every
+    packing invariant: full coverage, no bin-id collisions across salts,
+    no overflow, and the window partitions by (stratum, salt)."""
+    a = pk.pack_assignments(spark, SF, salt_splits=4).cache()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert a.count() == n_docs
+
+    per_bin = a.groupBy("source", "size_class", "bin_id").agg(
+        F.sum(F.col("size_class")).alias("slots"),
+        F.max("overflow").alias("ovf"),
+    )
+    assert per_bin.where(
+        (F.col("ovf") == 0) & (F.col("slots") > pk.CAPACITY)
+    ).count() == 0
+
+    plan = (
+        pk.pack_assignments(spark, SF, salt_splits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "salt" in plan  # the rank window includes the salt key
+    a.unpersist()
