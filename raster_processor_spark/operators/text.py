@@ -147,3 +147,38 @@ def dedup_exact_sql() -> str:
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
 """
+
+
+# BPE-ish subword counting: greedy fixed-width chunking of letter/digit runs
+# plus single punctuation tokens — the standard cheap proxy for a learned
+# BPE vocabulary's token count (≈ ceil(len(run)/4) per word). The pattern is
+# ASCII-class-only so Java regex (Spark) and RE2 (DuckDB) tokenize
+# identically; both engines scan leftmost with greedy bounded quantifiers.
+BPE_PATTERN = "[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source whitespace vs BPE-ish token totals + the subword blowup
+    ratio a tokenizer-budget planner needs (all codegen, no UDF)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.size(F.split("text", " ")).alias("nw"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).alias("nb"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("nw").alias("ws_tokens"),
+        F.sum("nb").alias("bpe_tokens"),
+        (F.sum("nb").cast("double") / F.sum("nw")).alias("subword_ratio"),
+    )
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+SELECT source,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS subword_ratio
+FROM documents GROUP BY 1
+"""

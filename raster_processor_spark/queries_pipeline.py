@@ -6,6 +6,7 @@ Registered into the main REGISTRY (imported from queries.py at module end).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from raster_processor_spark.operators import dedup as dd
 from raster_processor_spark.operators import similarity as sim
@@ -173,3 +174,31 @@ _PHASH_N, _PHASH_MAX_HAM = 300, 3
 @q("dedup_image_phash", _mm.image_phash_pairs_sql(_PHASH_N, _PHASH_MAX_HAM))
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.image_phash_pairs(spark, sf_dir, _PHASH_N, _PHASH_MAX_HAM)
+
+
+from raster_processor_spark.operators import media as md
+
+_VID_N, _VID_EVERY, _AUD_N = 200, 4, 150
+
+
+@q("video_frame_sample", md.frame_sample_oracle_sql(_VID_N, _VID_EVERY))
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < _VID_N).repartition(8)
+    )
+    return md.frame_sample(md.videos_from_ids(ids), every=_VID_EVERY)
+
+
+@q("audio_features", md.audio_features_oracle_sql(_AUD_N))
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < _AUD_N).repartition(8)
+    )
+    return md.audio_features(md.audios_from_ids(ids))
+
+
+@q("token_count_bpe", tx.token_count_bpe_sql())
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count_bpe(spark, sf_dir)
