@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_image_phash",
     "pack_stats",
     "exact_k_sample",
+    "video_frame_sample",
+    "token_count_bpe",
 ]
 
 
