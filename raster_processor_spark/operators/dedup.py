@@ -6,7 +6,7 @@ Four families over the documents table:
   * MinHash + LSH  — shingle → minhash signature → band buckets → candidate
                      join → exact-Jaccard verify (the scale path: candidates
                      only, never all-pairs)
-  * SimHash        — 32-bit bit-majority fingerprint per document
+  * SimHash        — 63-bit bit-majority fingerprint per document
 
 All arithmetic (word ids, shingle ids, permutation hashes) is integer and
 deterministic, so each operator has a bit-exact DuckDB oracle twin. At
@@ -439,4 +439,28 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
 )
 SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """The terminal dedup output: the corpus with each near-dup cluster
+    collapsed to its canonical member (min doc id). Docs in no cluster pass
+    through; clustered docs survive iff they ARE the cluster label. This is
+    the table a training pipeline actually feeds downstream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    labels = dedup_clusters(spark, sf_dir, tau)
+    dropped = labels.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
+def dedup_survivors_sql(tau: float) -> str:
+    clusters = dedup_clusters_sql(tau).strip()
+    return f"""
+WITH labels AS ({clusters})
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+LEFT JOIN labels l ON d.doc_id = l.doc_id AND l.doc_id <> l.cluster_id
+WHERE l.doc_id IS NULL
 """

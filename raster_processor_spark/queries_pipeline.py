@@ -202,3 +202,8 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("token_count_bpe", tx.token_count_bpe_sql())
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_count_bpe(spark, sf_dir)
+
+
+@q("dedup_survivors", dd.dedup_survivors_sql(LSH_TAU))
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_survivors(spark, sf_dir, LSH_TAU)
