@@ -71,6 +71,33 @@ def streaming_dedup(
     )
 
 
+def streaming_tile_ingest(spark: SparkSession, images_dir: str) -> DataFrame:
+    """Incremental tile ingestion — the streaming twin of the flagship
+    pipeline's front end (§2.9 'arriving tiles' ≡ the reference's multi-tile
+    accumulation, products.py:1849): a file-source stream of image parquet
+    files is georeferenced from phash, assigned its quad cell, and rolled up
+    per cell. Each arriving file is one micro-batch; the complete-mode
+    per-cell state is exactly the batch groupBy over everything seen so
+    far, so resuming mid-ingest never recomputes finished files."""
+    from raster_processor_spark import datagen
+    from raster_processor_spark.functions.cells import quad_cell_col
+    from raster_processor_spark.operators.multimodal import with_georef
+
+    stream = (
+        spark.readStream.schema(datagen.IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(images_dir)
+    )
+    geo = with_georef(stream)
+    cells = geo.withColumn(
+        "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
+    )
+    return cells.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("total_px"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     """Drain all available input (availableNow) into a memory sink; returns
     the finished query. Test/driver helper. Non-aggregating streams (e.g.

@@ -99,3 +99,37 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     )
     assert got.count() == batch.count()
     out.stop()
+
+
+def test_streaming_tile_ingest_equals_batch(spark, tmp_path):
+    """Micro-batched tile ingestion (one arriving file per trigger) must end
+    at exactly the batch per-cell rollup over the same files."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark import datagen
+    from raster_processor_spark.functions.cells import quad_cell_col
+    from raster_processor_spark.operators.multimodal import with_georef
+    from raster_processor_spark.streaming import jobs
+
+    images_dir = str(tmp_path / "imgs")
+    # two files => two micro-batches
+    datagen.images_df(spark, 1200, partitions=2).write.parquet(images_dir)
+
+    agg = jobs.streaming_tile_ingest(spark, images_dir)
+    jobs.run_to_memory(agg, "tile_ingest", mode="complete")
+    got = {
+        r.cell_id: (r.n_images, r.total_px)
+        for r in spark.sql("SELECT * FROM tile_ingest").collect()
+    }
+
+    batch = (
+        with_georef(spark.read.schema(datagen.IMAGES_SCHEMA).parquet(images_dir))
+        .withColumn("cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("total_px"),
+        )
+    )
+    want = {r.cell_id: (r.n_images, r.total_px) for r in batch.collect()}
+    assert got == want and len(got) > 0
