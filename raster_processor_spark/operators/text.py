@@ -182,3 +182,43 @@ SELECT source,
          / SUM(len(string_split(text, ' '))) AS subword_ratio
 FROM documents GROUP BY 1
 """
+
+
+def quality_filter(
+    spark: SparkSession, sf_dir: str, drop_frac_permille: int = 200
+) -> DataFrame:
+    """Per-language quality floor: drop the lowest ``drop_frac_permille``/1000
+    of documents by quality score within each predicted language — the
+    curation filter downstream of text_stats. Rank-based (row_number over
+    (quality, doc_id) within language), not quantile-interpolation-based,
+    so the cut is bit-exact across engines and stable under ties. One
+    shuffle (the language window)."""
+    from pyspark.sql import Window
+
+    s = text_stats(spark, sf_dir).select("doc_id", "lang_pred", "quality")
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang_pred")
+    ranked = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    keep = F.col("rn") > F.floor(F.col("n") * drop_frac_permille / 1000.0)
+    return ranked.where(keep).select("doc_id", "lang_pred", "quality")
+
+
+def quality_filter_sql(drop_frac_permille: int = 200) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang_pred, quality FROM ({text_stats_sql().strip()})
+),
+r AS (
+  SELECT doc_id, lang_pred, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang_pred
+                            ORDER BY quality ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang_pred) AS n
+  FROM s
+)
+SELECT doc_id, lang_pred, quality
+FROM r WHERE rn > FLOOR(n * {drop_frac_permille} / 1000.0)
+"""

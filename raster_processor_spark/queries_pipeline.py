@@ -207,3 +207,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("dedup_survivors", dd.dedup_survivors_sql(LSH_TAU))
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_survivors(spark, sf_dir, LSH_TAU)
+
+
+@q("quality_filter", tx.quality_filter_sql())
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_filter(spark, sf_dir)
