@@ -42,6 +42,19 @@ MERSENNE31 = 2147483647
 SIMHASH_WORDS = ((0, 32, 69069, 362437), (32, 31, 1664525, 1013904223))
 SIMHASH_BITS = sum(nb for _, nb, _, _ in SIMHASH_WORDS)  # 63
 SIMHASH_BAND_BITS = 16  # 4 bands x 16 bits cover all 63: hamming <= 3 pigeonhole
+# Lane packing for the bit-majority aggregation: 4 bit-counters of 15 bits
+# each share one int64 aggregate, so the 63 per-bit majorities need 16 SUMs
+# instead of 63 (the round-2 63-aggregate form was the slowest warm query in
+# the driver bench). A lane counts set bits, bounded by shingles-per-doc, so
+# lanes never bleed while docs stay under 2^15 = 32768 shingles (enforced in
+# tests; at corpus scale widen LANE_BITS or split the doc upstream). The
+# per-row packed word is a 16-entry lookup of the hash nibble.
+SIMHASH_LANE_BITS = 15
+SIMHASH_LANES = 4  # per int64; 4 * 15-bit lanes, max addend < 2^46 * n
+SIMHASH_NIBBLE_SPREAD = [
+    sum(((nib >> i) & 1) << (SIMHASH_LANE_BITS * i) for i in range(SIMHASH_LANES))
+    for nib in range(1 << SIMHASH_LANES)
+]
 WID_BASE = 131  # polynomial char-hash base (word id, no vocab table)
 SID_P = 1000003  # shingle combiner prime
 
@@ -231,10 +244,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame
     return _jaccard_pairs(sh, cand).where(F.col("jaccard") >= tau)
 
 
+def _simhash_nibble_sources() -> list[tuple[int, int]]:
+    """(hash-word offset, shift) per packed long j — long j counts global
+    bits [4j, 4j+4): j 0..7 from h0, j 8..15 from h32 (the top long carries
+    only 3 live bits; bit 63 never sets because h32 < 2^31)."""
+    out = []
+    for j in range(SIMHASH_BITS // SIMHASH_LANES + 1):  # 16 longs for 63 bits
+        lo = j * SIMHASH_LANES
+        for off, nb, _, _ in SIMHASH_WORDS:
+            if off <= lo < off + nb:
+                out.append((off, lo - off))
+                break
+    return out
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document: bit b = majority of hash-bit b over
-    shingles (+1/−1 sum). All 63 bit-majorities fuse into ONE groupBy; the
-    hash words are two independent 32/31-bit LCGs of the shingle id."""
+    shingles (bit set iff 2*count_of_set_bits > n — identical to the ±1-sum
+    sign). The 63 bit-counters pack 4-per-long (15-bit lanes, see
+    SIMHASH_NIBBLE_SPREAD): each row contributes a 16-entry nibble-lookup
+    word per long and ONE groupBy runs 16 integer SUMs + a COUNT instead of
+    63 conditional SUMs. Exact while shingles-per-doc < 2^15."""
     sh = shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -243,19 +273,27 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for off, nb, a, b in SIMHASH_WORDS
         ],
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"h{off}"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"s{off + i}")
-        for off, nb, _, _ in SIMHASH_WORDS
-        for i in range(nb)
-    ]
-    agged = hashed.groupBy("doc_id").agg(*bit_sums)
+    spread = F.array(*[F.lit(v) for v in SIMHASH_NIBBLE_SPREAD])
+    packed_cols = []
+    for j, (off, shift) in enumerate(_simhash_nibble_sources()):
+        nib = F.shiftright(F.col(f"h{off}"), shift).bitwiseAND(F.lit(15))
+        packed_cols.append(
+            F.element_at(spread, (nib + 1).cast("int")).alias(f"p{j}")
+        )
+    packed = hashed.select("doc_id", *packed_cols)
+    n_longs = len(packed_cols)
+    agged = packed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{j}").alias(f"s{j}") for j in range(n_longs)],
+    )
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
     word = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        j, lane = b // SIMHASH_LANES, b % SIMHASH_LANES
+        cnt = F.shiftright(F.col(f"s{j}"), SIMHASH_LANE_BITS * lane).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         word = term if word is None else word + term
     return agged.select("doc_id", word.cast("long").alias("simhash"))
 
@@ -297,23 +335,33 @@ WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
 
 
 def simhash_sql() -> str:
+    """DuckDB twin of the lane-packed simhash. All divisions are DuckDB's
+    integer ``//`` (never float ``/``: a BIGINT/DOUBLE division rounds above
+    2^53 and silently corrupts low bits — the round-2 banding bug)."""
     hash_cols = ", ".join(
         f"({a} * sid + {b}) % {1 << nb} AS h{off}" for off, nb, a, b in SIMHASH_WORDS
     )
-    bit_sums = ",\n       ".join(
-        f"SUM(CASE WHEN (CAST(FLOOR(h{off} / {1 << i}.0) AS BIGINT) % 2) = 1 "
-        f"THEN 1 ELSE -1 END) AS s{off + i}"
-        for off, nb, _, _ in SIMHASH_WORDS
-        for i in range(nb)
+    spread = "[" + ", ".join(str(v) for v in SIMHASH_NIBBLE_SPREAD) + "]"
+    packed_cols = ", ".join(
+        f"({spread})[((h{off} // {1 << shift}) % 16) + 1] AS p{j}"
+        for j, (off, shift) in enumerate(_simhash_nibble_sources())
     )
-    word = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
+    n_longs = len(_simhash_nibble_sources())
+    sums = ", ".join(f"CAST(SUM(p{j}) AS BIGINT) AS s{j}" for j in range(n_longs))
+    lane_mod = 1 << SIMHASH_LANE_BITS  # % 2^15 == & (2^15 - 1) on non-negatives
+    terms = []
+    for b in range(SIMHASH_BITS):
+        j, lane = b // SIMHASH_LANES, b % SIMHASH_LANES
+        cnt = f"((s{j} // {1 << (SIMHASH_LANE_BITS * lane)}) % {lane_mod})"
+        terms.append(
+            f"(CASE WHEN 2 * {cnt} > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        )
+    word = " + ".join(terms)
     return f"""
 WITH {SHINGLES_CTE_SQL},
 hashed AS (SELECT doc_id, {hash_cols} FROM sh),
-agged AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+packed AS (SELECT doc_id, {packed_cols} FROM hashed),
+agged AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM packed GROUP BY doc_id)
 SELECT doc_id, CAST({word} AS BIGINT) AS simhash FROM agged
 """
 
@@ -356,6 +404,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFra
 
 
 def simhash_pairs_sql(max_hamming: int) -> str:
+    # band extraction uses DuckDB integer division (//): float division of a
+    # 63-bit BIGINT rounds at 2^53 and corrupted band-0 buckets in round 2
     sig = simhash_sql().strip()
     bb = SIMHASH_BAND_BITS
     div = " ".join(f"WHEN {b} THEN {1 << (b * bb)}" for b in range(4))
@@ -363,7 +413,7 @@ def simhash_pairs_sql(max_hamming: int) -> str:
 WITH sig AS ({sig}),
 bands AS (
   SELECT doc_id, simhash, b.band AS band,
-         (CAST(FLOOR(simhash / (CASE b.band {div} END)) AS BIGINT) % {1 << bb})
+         ((simhash // (CASE b.band {div} END)) % {1 << bb})
            AS bucket
   FROM sig CROSS JOIN (SELECT UNNEST(ARRAY[0, 1, 2, 3]) AS band) b
 ),

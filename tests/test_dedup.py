@@ -1,0 +1,79 @@
+"""SimHash lane-packing invariants: the packed 15-bit-lane bit-majority must
+equal the textbook per-bit ±1-sum definition, and the lane capacity bound
+(shingles per doc < 2^15) must actually hold on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster_processor_spark.operators import dedup as dd
+from tests.conftest import SF_ORACLE
+
+
+def _reference_simhash(sids: list[int]) -> int:
+    """Plain-python textbook simhash over the same LCG hash words."""
+    word = 0
+    for off, nb, a, b in dd.SIMHASH_WORDS:
+        for i in range(nb):
+            s = 0
+            for sid in sids:
+                h = (a * sid + b) % (1 << nb)
+                s += 1 if (h >> i) & 1 else -1
+            if s > 0:
+                word |= 1 << (off + i)
+    return word
+
+
+def test_lane_packed_simhash_matches_textbook_definition(spark):
+    # shingle sets chosen to exercise ties (2*cnt == n must NOT set the bit),
+    # empty-majority and dense-majority lanes
+    docs = {
+        1: [5, 17, 900001, 12345],
+        2: [5],
+        3: [2**30, 2**30 + 1, 7, 7919, 104729, 1299709],
+        4: [1, 2],  # even count: per-bit ties are common
+    }
+    rows = [(d, s) for d, sids in docs.items() for s in sids]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, sid BIGINT")
+
+    import raster_processor_spark.operators.dedup as mod
+
+    orig = mod.shingles
+    mod.shingles = lambda _spark, _sf: sh
+    try:
+        got = {r.doc_id: r.simhash for r in dd.simhash(spark, "unused").collect()}
+    finally:
+        mod.shingles = orig
+    want = {d: _reference_simhash(sids) for d, sids in docs.items()}
+    assert got == want
+
+
+def test_simhash_lane_capacity_holds_on_fixture(spark):
+    # the 15-bit lanes are exact while every doc has < 2^15 shingles
+    mx = (
+        dd.shingles(spark, SF_ORACLE)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .agg(F.max("ns"))
+        .collect()[0][0]
+    )
+    assert mx < (1 << dd.SIMHASH_LANE_BITS), mx
+
+
+def test_simhash_band_bucket_sql_is_integer_exact(duck):
+    # regression for the round-2 oracle bug: float division of a 63-bit
+    # fingerprint corrupts band-0 buckets above 2^53. Check the SQL banding
+    # arithmetic in isolation against python's integer shifts.
+    fp = (1 << 62) | (1 << 53) | 0xBEEF  # high bits set -> float-unsafe
+    rel = duck.sql(
+        f"""
+        SELECT band, (({fp} // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
+                                 WHEN 2 THEN 4294967296
+                                 WHEN 3 THEN 281474976710656 END)) % 65536)
+               AS bucket
+        FROM (SELECT UNNEST(ARRAY[0, 1, 2, 3]) AS band)
+        """
+    ).fetchall()
+    want = {b: (fp >> (16 * b)) & 0xFFFF for b in range(4)}
+    assert {b: v for b, v in rel} == want
