@@ -65,10 +65,12 @@ def dark_frac(
     cls: Column, pixel_area: Column, water_frac: Column,
     dark: list[int], interior: list[int], edge: list[int], alias: str,
 ) -> Column:
-    """Σ dark-class area / composite total area; 0 when no dark pixels,
-    1 when dark exists but composite area is 0 (all-dark cell) — the zero
-    denominator must be guarded (ANSI mode errors on bare divide-by-zero).
-    (raster_agg.py:245-276 aggregate_dark_frac)."""
+    """Σ dark-class area / composite total area; 0 when no dark pixels, and
+    0 when dark pixels exist but the composite total area is 0 (all-dark
+    cell) — exactly the reference's zero-denominator branch
+    (raster_agg.py:266-269: ``if total_area==0: dark_frac = 0``). The zero
+    denominator must still be guarded explicitly: ANSI mode errors on a bare
+    divide-by-zero. (raster_agg.py:245-276 aggregate_dark_frac)."""
     dark_area = F.sum(F.when(cls.isin(dark), pixel_area).otherwise(F.lit(0.0)))
     total = F.sum(
         F.when(cls.isin(interior), pixel_area)
@@ -77,7 +79,7 @@ def dark_frac(
     )
     return (
         F.when(dark_area == 0.0, F.lit(0.0))
-        .when(total == 0.0, F.lit(1.0))
+        .when(total == 0.0, F.lit(0.0))
         .otherwise(dark_area / total)
     ).alias(alias)
 
@@ -96,7 +98,7 @@ def dark_frac_sql(
     )
     return (
         f"(CASE WHEN {dark_area} = 0.0 THEN 0.0 "
-        f"WHEN {total} = 0.0 THEN 1.0 "
+        f"WHEN {total} = 0.0 THEN 0.0 "
         f"ELSE {dark_area} / {total} END) AS {alias}"
     )
 

@@ -391,23 +391,24 @@ FROM pts GROUP BY 1
 def dark_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells can hold ONLY dark/land rows (total composite area 0): the
     # division must be guarded — the driver's session runs Spark 4 with ANSI
-    # mode on, where a bare 0-denominator divide is a runtime error
+    # mode on, where a bare 0-denominator divide is a runtime error. Zero
+    # composite denominator yields 0.0 (reference raster_agg.py:266-269),
+    # including the all-dark cell case.
     pts = with_cell(pixc_points(spark, sf_dir), 7)
-    cls = F.col("classification")
-    dark_area = F.sum(
-        F.when(cls.isin(DARK), F.col("pixel_area")).otherwise(F.lit(0.0))
+    return pts.groupBy("cell_id").agg(
+        F.round(
+            agg.dark_frac(
+                F.col("classification"),
+                F.col("pixel_area"),
+                F.col("water_frac"),
+                DARK,
+                INTERIOR,
+                EDGE,
+                "x",
+            ),
+            6,
+        ).alias("dark_frac")
     )
-    total = F.sum(
-        F.when(cls.isin(INTERIOR), F.col("pixel_area"))
-        .when(cls.isin(EDGE), F.col("pixel_area") * F.col("water_frac"))
-        .otherwise(F.lit(0.0))
-    )
-    frac = (
-        F.when(dark_area == 0.0, F.lit(0.0))
-        .when(total == 0.0, F.lit(1.0))
-        .otherwise(dark_area / total)
-    )
-    return pts.groupBy("cell_id").agg(F.round(frac, 6).alias("dark_frac"))
 
 
 # ====================================================================== A13 ==

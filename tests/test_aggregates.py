@@ -1,0 +1,65 @@
+"""Reference-fidelity checks for the per-cell aggregation kernels on planted
+edge cases the sf fixtures may not reach — in particular the reference's
+zero-denominator dark_frac branch (raster_agg.py:266-269: an all-dark cell
+has dark area > 0 but composite total area 0, and must yield 0, not 1).
+Both twins (Spark Column and DuckDB SQL) are checked on the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raster_processor_spark.operators import aggregates as agg
+
+INTERIOR = [4, 7]
+EDGE = [3, 6]
+DARK = [5]
+
+# (cell_id, classification, pixel_area, water_frac)
+PLANTED = [
+    (1, 5, 10.0, 0.0),  # all-dark cell: dark_area 10, total 0 -> 0.0
+    (1, 5, 2.5, 0.0),
+    (2, 4, 8.0, 0.0),   # interior-only cell: no dark -> 0.0
+    (3, 5, 4.0, 0.0),   # mixed: dark 4, interior 8 + edge 6*0.5 -> 4/11
+    (3, 4, 8.0, 0.0),
+    (3, 3, 6.0, 0.5),
+    (4, 1, 9.0, 0.3),   # land-only cell: no dark, no composite -> 0.0
+    (5, 3, 6.0, 0.0),   # dark + zero-water-frac edge: total still 0 -> 0.0
+    (5, 5, 1.0, 0.0),
+]
+
+
+def test_dark_frac_zero_denominator_matches_reference(spark, duck):
+    df = spark.createDataFrame(
+        PLANTED, "cell_id INT, classification INT, pixel_area DOUBLE, water_frac DOUBLE"
+    )
+    got = {
+        r.cell_id: r.dark_frac
+        for r in df.groupBy("cell_id")
+        .agg(
+            agg.dark_frac(
+                F.col("classification"), F.col("pixel_area"), F.col("water_frac"),
+                DARK, INTERIOR, EDGE, "dark_frac",
+            )
+        )
+        .collect()
+    }
+    want = {1: 0.0, 2: 0.0, 3: 4.0 / 11.0, 4: 0.0, 5: 0.0}
+    assert got.keys() == want.keys()
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-12, (c, got[c], want[c])
+
+    rows = ", ".join(f"({c}, {k}, {a}, {w})" for c, k, a, w in PLANTED)
+    sql = (
+        "SELECT cell_id, "
+        + agg.dark_frac_sql(
+            "classification", "pixel_area", "water_frac",
+            DARK, INTERIOR, EDGE, "dark_frac",
+        )
+        + f" FROM (SELECT * FROM (VALUES {rows}) "
+        "AS t(cell_id, classification, pixel_area, water_frac)) GROUP BY 1"
+    )
+    oracle = {c: v for c, v in duck.sql(sql).fetchall()}
+    assert oracle.keys() == got.keys()
+    for c in got:
+        assert abs(oracle[c] - got[c]) < 1e-12, (c, oracle[c], got[c])
