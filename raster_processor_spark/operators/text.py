@@ -184,27 +184,75 @@ FROM documents GROUP BY 1
 """
 
 
+def distributed_rank_cut(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    drop_frac_permille: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Drop the lowest floor(n * f/1000) rows per group by (order_cols)
+    rank — WITHOUT a per-group rank window (a group key like language has
+    constant cardinality, so at corpus scale one task would sort ~n/|langs|
+    rows; the round-2 scale-killer).
+
+    Distributed exact rank instead:
+      1. range-partition on (group, *order) — rows of a group land in a
+         contiguous pid range, sorted across partitions by construction;
+      2. row_number within (pid, group) — partition key cardinality is
+         P x |groups|, so no task ever sorts more than one range partition;
+      3. global rank = local rank + Σ counts of earlier pids (the offset
+         table is P x |groups| rows — broadcast);
+      4. keep iff global rank > the cut. Bit-exact and tie-stable as long as
+         order_cols are unique per row (callers append a unique id).
+    The pid column is captured BEFORE the window shuffle, so correctness
+    never depends on where the window moves rows."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, group_col, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid", group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    ranked = ranged.withColumn("lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("pid", group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        group_col,
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    cut = F.floor(F.col("n") * drop_frac_permille / 1000.0)
+    return (
+        ranked.join(F.broadcast(offsets), ["pid", group_col])
+        .join(F.broadcast(totals), group_col)
+        .where(F.col("lrn") + F.col("off") > cut)
+        .drop("pid", "lrn", "off", "n")
+    )
+
+
 def quality_filter(
     spark: SparkSession, sf_dir: str, drop_frac_permille: int = 200
 ) -> DataFrame:
     """Per-language quality floor: drop the lowest ``drop_frac_permille``/1000
     of documents by quality score within each predicted language — the
-    curation filter downstream of text_stats. Rank-based (row_number over
-    (quality, doc_id) within language), not quantile-interpolation-based,
-    so the cut is bit-exact across engines and stable under ties. One
-    shuffle (the language window)."""
-    from pyspark.sql import Window
-
+    curation filter downstream of text_stats. Rank-based over (quality,
+    doc_id), not quantile-interpolation-based, so the cut is bit-exact across
+    engines and stable under ties; the rank itself is computed by
+    distributed_rank_cut (no per-language window — language cardinality is
+    constant, so a per-language sort cannot scale)."""
     s = text_stats(spark, sf_dir).select("doc_id", "lang_pred", "quality")
-    w = Window.partitionBy("lang_pred").orderBy(
-        F.col("quality").asc(), F.col("doc_id").asc()
-    )
-    wc = Window.partitionBy("lang_pred")
-    ranked = s.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wc)
-    )
-    keep = F.col("rn") > F.floor(F.col("n") * drop_frac_permille / 1000.0)
-    return ranked.where(keep).select("doc_id", "lang_pred", "quality")
+    return distributed_rank_cut(
+        s, "lang_pred", ["quality", "doc_id"], drop_frac_permille
+    ).select("doc_id", "lang_pred", "quality")
 
 
 def quality_filter_sql(drop_frac_permille: int = 200) -> str:

@@ -105,6 +105,50 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     assert not offenders, f"CartesianProduct in: {offenders}"
 
 
+def test_quality_filter_has_no_constant_cardinality_rank_window(spark):
+    # the cut must never rank inside a window partitioned ONLY by language
+    # (constant-cardinality key -> one task sorts ~n/|langs| rows at scale).
+    # distributed_rank_cut's windows all carry the range-partition pid in
+    # their spec (as partition key for the local rank, as order key for the
+    # offset cumsum) — assert every window in the plan mentions it.
+    import re
+
+    plan = (
+        REGISTRY["quality_filter"].spark(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\([^\n]*", plan)
+    assert specs, "expected window specs in the quality_filter plan"
+    offenders = [s for s in specs if "pid#" not in s.split("specifiedwindowframe")[0]]
+    assert not offenders, f"rank window without pid partitioning: {offenders}"
+
+
+def test_distributed_rank_cut_matches_window_rank_on_skewed_group(spark):
+    # one language holds ~all rows (the corpus-scale skew shape); the
+    # distributed cut must equal the textbook per-group rank filter exactly
+    from raster_processor_spark.operators.text import distributed_rank_cut
+
+    rows = [(i, "en" if i % 97 else "de", float((i * 37) % 211) / 211.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, q DOUBLE")
+    got = sorted(
+        (r.doc_id, r.lang)
+        for r in distributed_rank_cut(df, "lang", ["q", "doc_id"], 250).collect()
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    want = sorted(
+        (r.doc_id, r.lang)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") > F.floor(F.col("n") * 250 / 1000.0))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_no_global_window_in_any_registered_query(spark):
     # plan-only: a Window whose partition spec is empty moves ALL rows to
     # one task (the round-1 vocab-window scale killer class). In the plan
