@@ -53,18 +53,39 @@ def _disk_offsets_df(spark, ring: int) -> DataFrame:
     )
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTERS only — no data scan, no Spark
+    job (pyarrow sums row-group counts from file metadata). This is the
+    same lineage a snapshot manifest records (sources/snapshots.py), used
+    to feed density heuristics without doubling input I/O."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 def knn_join(
     points: DataFrame,
     k: int,
     res: int | None = None,
     rings: tuple[int, ...] = (3, 12),
+    n_hint: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
     ``res`` defaults to a density heuristic (~0.6 points per cell; the
     default disk(3) = 49-cell first phase then resolves nearly every query
     in one round, and the ring-12 second phase — empty in the common case —
-    bounds the brute tail at corpus scale)."""
+    bounds the brute tail at corpus scale). The row count feeding the
+    heuristic comes from ``n_hint`` (parquet_row_count / snapshot manifest
+    — metadata only); only when the caller supplies neither ``res`` nor
+    ``n_hint`` does the function fall back to an eager pts.count(), which
+    costs a full extra scan — avoid at scale.
+
+    Per-ring phase outputs carry persist() so the output union and the
+    next phase's anti-join share one evaluation; the handles are appended
+    to ``persisted`` (pass a list and unpersist after your action) —
+    otherwise they stay cached for the session's lifetime."""
     spark = points.sparkSession
     pts = points.select("key", "lat", "lon")
     if res is None:
@@ -73,7 +94,7 @@ def knn_join(
         # magnitude less window work than denser grids (measured 3-5x faster
         # than ~8/cell), and the ring escalation + brute tail keep the
         # result exact whatever the density guess
-        n = pts.count()
+        n = n_hint if n_hint is not None else pts.count()
         res = max(2, min(12, int(math.log2(max(n, 16) / 0.6) / 2)))
     s = 180.0 / (1 << res)  # cell size in degrees (square)
 
@@ -145,6 +166,8 @@ def knn_join(
         got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
             "qkey", "nkey", "dist2", "rank"
         ).persist()
+        if persisted is not None:
+            persisted.append(got)
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
@@ -169,7 +192,8 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select("qkey", "nkey", "dist2", "rank")
     )
-    accepted = accepted.unionByName(tail)
+    # rings=() => every query is in the brute tail and nothing was accepted
+    accepted = tail if accepted is None else accepted.unionByName(tail)
 
     return accepted.select(
         F.col("qkey").alias("key"),

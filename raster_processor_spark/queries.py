@@ -281,7 +281,10 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("knn", knn_op.knn_sql(DOC_PTS_SQL, KNN_K))
 def knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
-    return knn_op.knn_join(pts, KNN_K)
+    # density hint from parquet footers (manifest-style metadata): the
+    # points table is scanned exactly once — by the real plan
+    n = knn_op.parquet_row_count(f"{sf_dir}/documents.parquet")
+    return knn_op.knn_join(pts, KNN_K, n_hint=n)
 
 
 # ====================================================================== A6 ===

@@ -105,6 +105,56 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     assert not offenders, f"CartesianProduct in: {offenders}"
 
 
+def test_knn_plan_builds_without_eager_count(spark):
+    # the density heuristic must come from parquet-footer metadata, never an
+    # eager count() job (a full extra scan of the points table at 100 TB)
+    import pyspark.sql.dataframe as dfmod
+
+    orig = dfmod.DataFrame.count
+
+    def _boom(self):
+        raise AssertionError("knn plan construction ran an eager count()")
+
+    dfmod.DataFrame.count = _boom
+    try:
+        df = REGISTRY["knn"].spark(spark, SF_ORACLE)
+    finally:
+        dfmod.DataFrame.count = orig
+    assert df.columns == ["key", "neighbor_key", "dist2", "rank"]
+
+
+def test_knn_empty_ring_schedule_falls_back_to_brute(spark):
+    from raster_processor_spark.operators import knn as knn_op
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 5.0, 5.0), (4, 5.0, 6.0)],
+        "key BIGINT, lat DOUBLE, lon DOUBLE",
+    )
+    got = sorted(
+        (r.key, r.neighbor_key, r.rank)
+        for r in knn_op.knn_join(pts, 1, rings=(), n_hint=4).collect()
+    )
+    assert got == [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)]
+
+
+def test_knn_persist_handles_are_returned_and_unpersistable(spark):
+    from raster_processor_spark.operators import knn as knn_op
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 11)) for i in range(40)],
+        "key BIGINT, lat DOUBLE, lon DOUBLE",
+    )
+    handles: list = []
+    out = knn_op.knn_join(pts, 3, rings=(3,), n_hint=40, persisted=handles)
+    assert out.count() > 0
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist()
+    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
+        "cached blocks left after unpersist"
+    )
+
+
 def test_quality_filter_has_no_constant_cardinality_rank_window(spark):
     # the cut must never rank inside a window partitioned ONLY by language
     # (constant-cardinality key -> one task sorts ~n/|langs| rows at scale).
