@@ -59,6 +59,71 @@ def composite_area_sql(
     )
 
 
+def composite_area_variance(
+    cls: Column, pixel_area: Column, water_frac_uncert: Column,
+    darea_dheight: Column, height_var: Column, pfd: Column, pmd: Column,
+    interior: list[int], edge: list[int], alias: str,
+) -> Column:
+    """Closed-form variance of the composite water area — the uncertainty
+    half of the reference's aggregate_water_area (raster_agg.py:195-204,
+    which calls ag.area_with_uncert in the out-of-tree SWOTWater package
+    with exactly these inputs: water_frac_uncert, darea_dheight, Pfd, Pmd).
+    Standard independent-pixel error propagation:
+
+      interior pixel: area² · (Pfd(1−Pfd) + Pmd(1−Pmd))   [Bernoulli
+                      detection variance from false/missed detection rates]
+      edge pixel:     (area · water_frac_uncert)²          [fraction noise]
+      both:           + darea_dheight² · σ²_height         [height
+                      sensitivity of the projected pixel area]
+
+    water_area_u = sqrt of this sum; water_frac_u divides by the same
+    nominal area water_frac does."""
+    return composite_area_variance_expr(
+        cls, pixel_area, water_frac_uncert, darea_dheight, height_var,
+        pfd, pmd, interior, edge,
+    ).alias(alias)
+
+
+def composite_area_variance_expr(
+    cls: Column, pixel_area: Column, water_frac_uncert: Column,
+    darea_dheight: Column, height_var: Column, pfd: Column, pmd: Column,
+    interior: list[int], edge: list[int],
+) -> Column:
+    """Unaliased form of composite_area_variance, reusable inside derived
+    output expressions (sqrt, fraction division)."""
+    det_var = pfd * (F.lit(1.0) - pfd) + pmd * (F.lit(1.0) - pmd)
+    h_term = darea_dheight * darea_dheight * height_var
+    per_px = (
+        F.when(cls.isin(interior), pixel_area * pixel_area * det_var + h_term)
+        .when(
+            cls.isin(edge),
+            (pixel_area * water_frac_uncert) * (pixel_area * water_frac_uncert)
+            + h_term,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return F.sum(per_px)
+
+
+def composite_area_variance_sql(
+    cls: str, pixel_area: str, water_frac_uncert: str,
+    darea_dheight: str, height_var: str, pfd: str, pmd: str,
+    interior: list[int], edge: list[int], alias: str,
+) -> str:
+    i = ", ".join(map(str, interior))
+    e = ", ".join(map(str, edge))
+    det = f"(({pfd}) * (1.0 - ({pfd})) + ({pmd}) * (1.0 - ({pmd})))"
+    h = f"(({darea_dheight}) * ({darea_dheight}) * ({height_var}))"
+    return (
+        f"SUM(CASE WHEN ({cls}) IN ({i}) "
+        f"THEN ({pixel_area}) * ({pixel_area}) * {det} + {h} "
+        f"WHEN ({cls}) IN ({e}) "
+        f"THEN (({pixel_area}) * ({water_frac_uncert})) * "
+        f"(({pixel_area}) * ({water_frac_uncert})) + {h} "
+        f"ELSE 0.0 END) AS {alias}"
+    )
+
+
 # ------------------------------------------------------------------ A11 ------
 
 def dark_frac(

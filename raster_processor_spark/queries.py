@@ -88,6 +88,13 @@ def pixc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") / 100000.0).alias("geoid"),
         (F.col("l_discount") / 10.0).alias("solid_earth_tide"),
         (F.col("l_tax") / 10.0).alias("pole_tide"),
+        # uncertainty inputs of the reference's aggregate_water_area
+        # (raster_proc.py:429-430 wires water_frac_uncert / darea_dheight /
+        # false+missed detection rates into the area aggregation)
+        (F.col("l_tax") + 0.02).alias("water_frac_uncert"),
+        (F.pmod(F.col("l_suppkey"), F.lit(5)) * 0.1).alias("darea_dheight"),
+        (F.pmod(F.col("l_partkey"), F.lit(10)) / 100.0).alias("pfd"),
+        (F.pmod(F.col("l_orderkey"), F.lit(10)) / 100.0).alias("pmd"),
     )
 
 
@@ -107,7 +114,11 @@ SELECT {_PIXC_KEY} AS key,
        CAST(l_suppkey % 1024 AS BIGINT) AS qual_word,
        l_extendedprice / 100000.0 AS geoid,
        l_discount / 10.0 AS solid_earth_tide,
-       l_tax / 10.0 AS pole_tide
+       l_tax / 10.0 AS pole_tide,
+       l_tax + 0.02 AS water_frac_uncert,
+       (l_suppkey % 5) * 0.1 AS darea_dheight,
+       (l_partkey % 10) / 100.0 AS pfd,
+       (l_orderkey % 10) / 100.0 AS pmd
 FROM lineitem
 """
 
@@ -375,6 +386,90 @@ def water_area_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("water_area"),
         F.count(F.when(cls.isin(INTERIOR), F.lit(1))).alias("n_interior"),
         F.count(F.when(cls.isin(EDGE), F.lit(1))).alias("n_edge"),
+    )
+
+
+# =============================================================== A9 uncert ===
+# the four layers the reference's aggregate_water_area returns
+# (raster_agg.py:195-222): water_area, water_area_u, water_frac, water_frac_u
+
+# Parity strategy (same as wse_weighted_mean): every per-pixel addend is an
+# exact decimal given the fixture's precision (pixel_area = 10*int, rates at
+# 2 decimals -> variance terms are multiples of 1e-6), so scale to integers
+# BEFORE the SUM (exact, order-immune) and descale with single divisions —
+# no output rounding, bit-identical across engines.
+_DET_SQL = "(pfd * (1.0 - pfd) + pmd * (1.0 - pmd))"
+_HT_SQL = "(darea_dheight * darea_dheight * height_var)"
+_VAR_PX_SQL = (
+    f"(CASE WHEN classification IN (4, 7) "
+    f"THEN pixel_area * pixel_area * {_DET_SQL} + {_HT_SQL} "
+    f"WHEN classification IN (3, 6) "
+    f"THEN (pixel_area * water_frac_uncert) * (pixel_area * water_frac_uncert)"
+    f" + {_HT_SQL} ELSE 0.0 END)"
+)
+_VAR_SCALED_SQL = f"SUM(ROUND({_VAR_PX_SQL} * 1000000.0))"
+_WA_SCALED_SQL = (
+    "SUM(CASE WHEN classification IN (4, 7) THEN pixel_area * 100 "
+    "WHEN classification IN (3, 6) THEN pixel_area * ROUND(water_frac * 100) "
+    "ELSE 0.0 END)"
+)
+_NOM_SQL = "SUM(pixel_area)"
+
+
+@q(
+    "water_area_uncert",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       {_WA_SCALED_SQL} / 100.0 AS water_area,
+       SQRT({_VAR_SCALED_SQL}) / 1000.0 AS water_area_u,
+       (CASE WHEN {_NOM_SQL} = 0.0 THEN 0.0
+             ELSE {_WA_SCALED_SQL} / 100.0 / {_NOM_SQL} END) AS water_frac,
+       (CASE WHEN {_NOM_SQL} = 0.0 THEN 0.0
+             ELSE SQRT({_VAR_SCALED_SQL}) / 1000.0 / {_NOM_SQL} END)
+         AS water_frac_u
+FROM pts GROUP BY 1
+""",
+)
+def water_area_uncert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite water area + closed-form uncertainty propagation — all four
+    reference layers (water_area, water_area_u, water_frac, water_frac_u;
+    raster_agg.py:181-222) in ONE fused groupBy (the reference runs separate
+    aggregator passes). Variance model: composite_area_variance_expr. The
+    nominal area dividing the fraction layers is the cell's total pixel area
+    (the reference divides by the projected nominal cell area; same role,
+    and the denominator is guarded for ANSI sessions)."""
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    cls = F.col("classification")
+    a = F.col("pixel_area")
+    det = F.col("pfd") * (F.lit(1.0) - F.col("pfd")) + F.col("pmd") * (
+        F.lit(1.0) - F.col("pmd")
+    )
+    h = F.col("darea_dheight") * F.col("darea_dheight") * F.col("height_var")
+    var_px = (
+        F.when(cls.isin(INTERIOR), a * a * det + h)
+        .when(
+            cls.isin(EDGE),
+            (a * F.col("water_frac_uncert")) * (a * F.col("water_frac_uncert")) + h,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    var_scaled = F.sum(F.round(var_px * 1000000.0))
+    wa_scaled = F.sum(
+        F.when(cls.isin(INTERIOR), a * 100)
+        .when(cls.isin(EDGE), a * F.round(F.col("water_frac") * 100))
+        .otherwise(F.lit(0.0))
+    )
+    nom = F.sum(a)
+    return pts.groupBy("cell_id").agg(
+        (wa_scaled / 100.0).alias("water_area"),
+        (F.sqrt(var_scaled) / 1000.0).alias("water_area_u"),
+        F.when(nom == 0.0, F.lit(0.0))
+        .otherwise(wa_scaled / 100.0 / nom)
+        .alias("water_frac"),
+        F.when(nom == 0.0, F.lit(0.0))
+        .otherwise(F.sqrt(var_scaled) / 1000.0 / nom)
+        .alias("water_frac_u"),
     )
 
 

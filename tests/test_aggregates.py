@@ -29,6 +29,59 @@ PLANTED = [
 ]
 
 
+def test_composite_area_variance_kernel_twins_agree(spark, duck):
+    # (cell, cls, area, wfu, dadh, hvar, pfd, pmd) — interior, edge, dark mix
+    rows = [
+        (1, 4, 10.0, 0.05, 0.2, 0.03, 0.04, 0.02),
+        (1, 3, 20.0, 0.08, 0.1, 0.05, 0.01, 0.09),
+        (1, 5, 30.0, 0.02, 0.3, 0.02, 0.05, 0.05),  # dark: contributes 0
+        (2, 7, 40.0, 0.03, 0.0, 0.04, 0.00, 0.00),
+    ]
+    schema = (
+        "cell_id INT, classification INT, pixel_area DOUBLE, wfu DOUBLE, "
+        "dadh DOUBLE, hvar DOUBLE, pfd DOUBLE, pmd DOUBLE"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.cell_id: r.v
+        for r in df.groupBy("cell_id")
+        .agg(
+            agg.composite_area_variance(
+                F.col("classification"), F.col("pixel_area"), F.col("wfu"),
+                F.col("dadh"), F.col("hvar"), F.col("pfd"), F.col("pmd"),
+                INTERIOR, EDGE, "v",
+            )
+        )
+        .collect()
+    }
+    # DuckDB parses bare float literals as DECIMAL — cast each to DOUBLE
+    vals = ", ".join(
+        "(" + ", ".join(
+            [str(r[0]), str(r[1])] + [f"CAST('{x}' AS DOUBLE)" for x in r[2:]]
+        ) + ")"
+        for r in rows
+    )
+    sql = (
+        "SELECT cell_id, "
+        + agg.composite_area_variance_sql(
+            "classification", "pixel_area", "wfu", "dadh", "hvar",
+            "pfd", "pmd", INTERIOR, EDGE, "v",
+        )
+        + f" FROM (SELECT * FROM (VALUES {vals}) AS t(cell_id, classification,"
+        " pixel_area, wfu, dadh, hvar, pfd, pmd)) GROUP BY 1"
+    )
+    oracle = {c: v for c, v in duck.sql(sql).fetchall()}
+    assert got.keys() == oracle.keys()
+    for c in got:
+        assert abs(got[c] - oracle[c]) < 1e-9, (c, got[c], oracle[c])
+    # hand-check one cell: interior 10² * (pfd(1-pfd)+pmd(1-pmd)) + dadh²·hvar
+    want1 = (
+        100.0 * (0.04 * 0.96 + 0.02 * 0.98) + 0.04 * 0.03
+        + (20.0 * 0.08) ** 2 + 0.01 * 0.05
+    )
+    assert abs(got[1] - want1) < 1e-9
+
+
 def test_dark_frac_zero_denominator_matches_reference(spark, duck):
     df = spark.createDataFrame(
         PLANTED, "cell_id INT, classification INT, pixel_area DOUBLE, water_frac DOUBLE"
