@@ -225,18 +225,59 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "pid", "mh")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band join (1 row/band here — small corpus;
-    raise rows/band at scale) then exact-Jaccard verify on candidates only.
+def minhash_band_buckets(sh: DataFrame, rows_per_band: int = 1) -> DataFrame:
+    """(doc_id, band, bucket): the b x r LSH banding knob. Band i covers
+    minhash rows [i*r, (i+1)*r); its bucket folds the r minima with
+    SID_P-power weights mod 2^31-1 (exact integers, identical in DuckDB).
+    r=1 reproduces the plain per-permutation buckets; larger r lowers the
+    collision probability per band (s-curve steepening: P[cand] = 1-(1-s^r)^b)
+    — the knob corpus-scale dedup tunes to keep candidate volume sane.
+    Bucket-fold collisions only ever ADD candidates, and the exact-Jaccard
+    verify removes them, so the pair output is collision-immune."""
+    assert len(MINHASH_PERMS) % rows_per_band == 0
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(MERSENNE31))).alias(
+            f"mh{p}"
+        )
+        for p, a, b in MINHASH_PERMS
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    n_bands = len(MINHASH_PERMS) // rows_per_band
+    weights = [pow(SID_P, j, MERSENNE31) for j in range(rows_per_band)]
+    band_rows = []
+    for band in range(n_bands):
+        acc = None
+        for j in range(rows_per_band):
+            term = F.pmod(
+                F.col(f"mh{band * rows_per_band + j}") * F.lit(weights[j]),
+                F.lit(MERSENNE31),
+            )
+            acc = term if acc is None else acc + term
+        band_rows.append(
+            f"{band}, " + f"b{band}"
+        )
+        wide = wide.withColumn(f"b{band}", F.pmod(acc, F.lit(MERSENNE31)))
+    stack_args = ", ".join(band_rows)
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, bucket)"),
+    ).select("doc_id", "band", "bucket")
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, rows_per_band: int = 1
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join (b x r banding — see
+    minhash_band_buckets) then exact-Jaccard verify on candidates only.
 
     The shingle table is consumed four times (signatures, both sides of the
     verify join, sizes) — cache it once."""
     sh = shingles(spark, sf_dir).cache()
-    sig = minhash_signatures(sh)
-    s1 = sig.select(F.col("doc_id").alias("doc_a"), "pid", "mh")
-    s2 = sig.select(F.col("doc_id").alias("doc_b"), "pid", "mh")
+    sig = minhash_band_buckets(sh, rows_per_band)
+    s1 = sig.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    s2 = sig.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
-        s1.join(s2, ["pid", "mh"])
+        s1.join(s2, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -315,14 +356,25 @@ WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= {tau}
 """
 
 
-def minhash_lsh_sql(tau: float) -> str:
+def minhash_lsh_sql(tau: float, rows_per_band: int = 1) -> str:
+    weights = [pow(SID_P, j, MERSENNE31) for j in range(rows_per_band)]
+    w_case = (
+        "(CASE pid % " + str(rows_per_band) + " "
+        + " ".join(f"WHEN {j} THEN {w}" for j, w in enumerate(weights))
+        + " END)"
+    )
     return f"""
 WITH {SHINGLES_CTE_SQL},
 perms AS (SELECT * FROM {PERMS_VALUES_SQL}),
 sig AS (SELECT doc_id, pid, MIN((a * sid + b) % {MERSENNE31}) AS mh
         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+bnd AS (SELECT doc_id, pid // {rows_per_band} AS band,
+               CAST(SUM((mh * {w_case}) % {MERSENNE31}) % {MERSENNE31}
+                    AS BIGINT) AS bucket
+        FROM sig GROUP BY 1, 2),
 cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
-         FROM sig s1 JOIN sig s2 ON s1.pid = s2.pid AND s1.mh = s2.mh
+         FROM bnd s1 JOIN bnd s2 ON s1.band = s2.band
+                      AND s1.bucket = s2.bucket
                       AND s1.doc_id < s2.doc_id),
 common AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS c
            FROM cand JOIN sh a ON a.doc_id = cand.doc_a

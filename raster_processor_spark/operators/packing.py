@@ -102,8 +102,25 @@ def pack_assignments(
     )
 
 
-def pack_assignments_sql(capacity: int = CAPACITY) -> str:
+def pack_assignments_sql(capacity: int = CAPACITY, salt_splits: int = 1) -> str:
+    from raster_processor_spark.operators.sampling import _mix_sql
+
     sc = _size_class_sql("n_tokens", capacity)
+    if salt_splits > 1:
+        salt = f"({_mix_sql('doc_id')} % {salt_splits})"
+        part = "source, size_class, salt"
+        bin_expr = (
+            f"salt + {salt_splits} * "
+            f"((ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY doc_id) - 1)"
+            f" // GREATEST({capacity} // size_class, 1))"
+        )
+    else:
+        salt = "0"
+        bin_expr = (
+            f"(ROW_NUMBER() OVER (PARTITION BY source, size_class"
+            f" ORDER BY doc_id) - 1)"
+            f" // GREATEST({capacity} // size_class, 1)"
+        )
     return f"""
 WITH d AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
@@ -111,56 +128,63 @@ WITH d AS (
 ),
 s AS (
   SELECT doc_id, source, n_tokens, {sc} AS size_class,
-         (CASE WHEN n_tokens > {capacity} THEN 1 ELSE 0 END) AS overflow
+         (CASE WHEN n_tokens > {capacity} THEN 1 ELSE 0 END) AS overflow,
+         {salt} AS salt
   FROM d
 )
 SELECT doc_id, source,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(size_class AS BIGINT) AS size_class,
-       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source, size_class
-                                      ORDER BY doc_id) - 1)
-                  / GREATEST({capacity} // size_class, 1)) AS BIGINT) AS bin_id,
+       CAST({bin_expr} AS BIGINT) AS bin_id,
        overflow
 FROM s
 """
 
 
 def pack_stats(
-    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY
+    spark: SparkSession, sf_dir: str, capacity: int = CAPACITY,
+    salt_splits: int = 1,
 ) -> DataFrame:
-    """Per-(source, size_class) packing efficiency: bins used, docs, token
-    fill ratio (sum tokens / bins*capacity) — the padding-waste audit. The
-    ratio divides two exact integers, so it is bit-deterministic."""
-    a = pack_assignments(spark, sf_dir, capacity)
+    """Per-(source, size_class, overflow) packing efficiency: bins used,
+    docs, token fill ratio — the padding-waste audit. The overflow stratum
+    (docs longer than capacity, packed 1-per-bin) reports separately so its
+    ratio cannot exceed 1; the fill numerator caps each doc at capacity for
+    the same reason. n_bins counts DISTINCT bin ids (max+1 over-counts the
+    interleave gaps salting introduces). The ratio divides two exact
+    integers, so it is bit-deterministic."""
+    a = pack_assignments(spark, sf_dir, capacity, salt_splits)
+    filled = F.sum(F.least(F.col("n_tokens"), F.lit(capacity)))
     return (
-        a.groupBy("source", "size_class")
+        a.groupBy("source", "size_class", "overflow")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.max("bin_id") + 1).alias("n_bins"),
+            F.countDistinct("bin_id").alias("n_bins"),
             F.sum("n_tokens").alias("sum_tokens"),
+            filled.alias("_filled"),
         )
         .select(
             "source",
             "size_class",
+            "overflow",
             "n_docs",
             "n_bins",
             "sum_tokens",
             (
-                F.col("sum_tokens").cast("double")
+                F.col("_filled").cast("double")
                 / (F.col("n_bins") * F.lit(capacity))
             ).alias("fill_ratio"),
         )
     )
 
 
-def pack_stats_sql(capacity: int = CAPACITY) -> str:
+def pack_stats_sql(capacity: int = CAPACITY, salt_splits: int = 1) -> str:
     return f"""
-WITH a AS ({pack_assignments_sql(capacity)})
-SELECT source, size_class,
+WITH a AS ({pack_assignments_sql(capacity, salt_splits)})
+SELECT source, size_class, overflow,
        COUNT(*) AS n_docs,
-       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-       CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(bin_id) + 1) * {capacity})
-         AS fill_ratio
-FROM a GROUP BY 1, 2
+       CAST(SUM(LEAST(n_tokens, {capacity})) AS DOUBLE)
+         / (COUNT(DISTINCT bin_id) * {capacity}) AS fill_ratio
+FROM a GROUP BY 1, 2, 3
 """

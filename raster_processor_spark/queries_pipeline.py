@@ -145,14 +145,20 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 from raster_processor_spark.operators import packing as pk
 
 
-@q("pack_assignments", pk.pack_assignments_sql())
+# the pipeline path runs SALTED (salt_splits=4): at corpus scale a hot
+# (source, size_class) stratum is one task's sort without it — the driver
+# exercises the non-default knob, oracle replaying the salt arithmetic
+PACK_SALT = 4
+
+
+@q("pack_assignments", pk.pack_assignments_sql(salt_splits=PACK_SALT))
 def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pk.pack_assignments(spark, sf_dir)
+    return pk.pack_assignments(spark, sf_dir, salt_splits=PACK_SALT)
 
 
-@q("pack_stats", pk.pack_stats_sql())
+@q("pack_stats", pk.pack_stats_sql(salt_splits=PACK_SALT))
 def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pk.pack_stats(spark, sf_dir)
+    return pk.pack_stats(spark, sf_dir, salt_splits=PACK_SALT)
 
 
 from raster_processor_spark.operators import sampling as smp

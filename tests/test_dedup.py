@@ -61,6 +61,26 @@ def test_simhash_lane_capacity_holds_on_fixture(spark):
     assert mx < (1 << dd.SIMHASH_LANE_BITS), mx
 
 
+def test_minhash_lsh_rows_per_band_knob(spark, duck):
+    # r=2 (4 bands x 2 rows) must bit-match its DuckDB twin, and its
+    # candidate set is by construction a subset of r=1's — so its PAIR
+    # output is a subset of the r=1 output (the verify filter is shared)
+    from raster_processor_spark.operators import dedup as dd
+
+    tau = 0.3
+    got2 = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(spark, SF_ORACLE, tau, rows_per_band=2).collect()
+    )
+    want2 = sorted((a, b) for a, b, _ in duck.sql(dd.minhash_lsh_sql(tau, 2)).fetchall())
+    assert got2 == want2 and len(got2) > 0
+    got1 = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(spark, SF_ORACLE, tau).collect()
+    )
+    assert set(got2) <= set(got1)
+
+
 def test_simhash_band_bucket_sql_is_integer_exact(duck):
     # regression for the round-2 oracle bug: float division of a 63-bit
     # fingerprint corrupts band-0 buckets above 2^53. Check the SQL banding

@@ -48,6 +48,30 @@ def test_fill_ratio_beats_power_of_two_floor(spark):
     assert row["r"] > 0.4
 
 
+def test_pack_stats_fill_ratio_bounded_and_bins_distinct(spark):
+    # overflow docs (n_tokens > capacity) report as their own stratum and the
+    # fill numerator caps at capacity, so no stratum can exceed 1.0; n_bins
+    # must count distinct ids (max+1 over-counts interleave gaps when salted)
+    cap = 64
+    st = pk.pack_stats(spark, SF, capacity=cap, salt_splits=3).collect()
+    assert all(r.fill_ratio <= 1.0 + 1e-12 for r in st), st
+    ovf = [r for r in st if r.overflow == 1]
+    assert ovf, "expected an overflow stratum at capacity=64"
+    for r in ovf:
+        # 1-per-bin packing: bins == docs, ratio exactly 1.0 (capped)
+        assert r.n_bins == r.n_docs and abs(r.fill_ratio - 1.0) < 1e-12
+
+
+def test_pack_stats_oracle_parity_salted(spark, duck):
+    from tests.conftest import SF_ORACLE
+
+    got = sorted(
+        tuple(r) for r in pk.pack_stats(spark, SF_ORACLE, salt_splits=3).collect()
+    )
+    want = sorted(tuple(r) for r in duck.sql(pk.pack_stats_sql(salt_splits=3)).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_single_exchange_in_assignment_plan(spark):
     plan = pk.pack_assignments(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
