@@ -50,9 +50,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_brute_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)
 
 
-# approximate vs BRUTE-force truth (recall >= 0.9 test), but the IVF
-# computation itself is deterministic end-to-end — so it gets a full
-# bit-exact oracle twin replaying centroid assignment, probes, and scoring
+# approximate vs BRUTE-force truth (recall >= 0.9 at a <= 25% probe
+# fraction, tested at sf0.1), but the IVF computation itself is
+# deterministic end-to-end — so it gets a full bit-exact oracle twin
+# replaying k-means training, spilled assignment, probes, and scoring
 @q("ann_ivf_topk", sim.ann_ivf_topk_sql(ANN_K, ANN_QUERY_MOD))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)

@@ -12,8 +12,16 @@ SF_RECALL = "/root/testdata/sf0.1"
 
 
 def test_ivf_recall_vs_brute_sf01(spark):
-    # the judge-graded bar: recall >= 0.9 vs exact brute at sf0.1.
-    # Deterministic (fixed centroid sample, fixed probe count).
+    # the judge-graded bar: recall >= 0.9 vs exact brute at sf0.1 WHILE
+    # probing at most 25% of the centroids (the production shape: k-means
+    # centroids scaled ~4*sqrt(n), spilled corpus assignment). Deterministic.
+    from raster_processor_spark.operators.knn import parquet_row_count
+
+    n = parquet_row_count(f"{SF_RECALL}/embeddings.parquet")
+    n_centroids, nprobe = sim.ivf_params(n)
+    assert nprobe / n_centroids <= 0.25, (n_centroids, nprobe)
+    assert n_centroids >= 16 * 8, "centroid count must scale with the corpus"
+
     k = 10
     brute = sim.ann_brute_topk(spark, SF_RECALL, k, 25)
     ivf = sim.ann_ivf_topk(spark, SF_RECALL, k, 25)
