@@ -95,6 +95,13 @@ def pixc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("l_suppkey"), F.lit(5)) * 0.1).alias("darea_dheight"),
         (F.pmod(F.col("l_partkey"), F.lit(10)) / 100.0).alias("pfd"),
         (F.pmod(F.col("l_orderkey"), F.lit(10)) / 100.0).alias("pmd"),
+        # complex interferogram layer — the reference's only non-flat type
+        # (products.py:2015), SURVEY §1.2 maps it to struct<re, im>
+        F.struct(
+            (F.pmod(F.round(F.col("l_extendedprice")), F.lit(1000)) - 500).alias("re"),
+            (F.pmod(F.col("l_suppkey"), F.lit(997)) - 498).cast("double").alias("im"),
+        ).alias("ifgram"),
+        F.pmod(F.col("l_linenumber"), F.lit(4)).cast("long").alias("phase_t"),
     )
 
 
@@ -118,7 +125,10 @@ SELECT {_PIXC_KEY} AS key,
        l_tax + 0.02 AS water_frac_uncert,
        (l_suppkey % 5) * 0.1 AS darea_dheight,
        (l_partkey % 10) / 100.0 AS pfd,
-       (l_orderkey % 10) / 100.0 AS pmd
+       (l_orderkey % 10) / 100.0 AS pmd,
+       struct_pack(re := (ROUND(l_extendedprice) % 1000) - 500,
+                   im := CAST((l_suppkey % 997) - 498 AS DOUBLE)) AS ifgram,
+       CAST(l_linenumber % 4 AS BIGINT) AS phase_t
 FROM lineitem
 """
 
@@ -470,6 +480,66 @@ def water_area_uncert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nom == 0.0, F.lit(0.0))
         .otherwise(F.sqrt(var_scaled) / 1000.0 / nom)
         .alias("water_frac_u"),
+    )
+
+
+# ======================================================== interferogram =====
+# flatten + coherent per-cell aggregation of the complex interferogram layer
+# (reference: products.py:2015 complex column; raster_proc.py:360-367 calls
+# ag.flatten_interferogram = per-pixel phase rotation before aggregation).
+# The flattening phasor here is the exact-unit rational rotation
+# ((1-t^2) + 2t*i)/(1+t^2) with t = phase_t in 0..3 — every denominator
+# divides 10, so rotated components x10 are exact integers and the coherent
+# sums are order-immune and bit-identical across engines. Rotation preserves
+# modulus, so total power uses |z| directly (per-pixel integerized at 1e-3:
+# IEEE sqrt is correctly rounded, identical in both engines).
+
+_IF_RE = "struct_extract(ifgram, 're')"
+_IF_IM = "struct_extract(ifgram, 'im')"
+_IF_C = "(1 - phase_t * phase_t)"
+_IF_S = "(2 * phase_t)"
+_IF_D = "(1 + phase_t * phase_t)"
+_IF_SR = f"SUM(({_IF_RE} * {_IF_C} + {_IF_IM} * {_IF_S}) * 10 / {_IF_D})"
+_IF_SI = f"SUM(({_IF_IM} * {_IF_C} - {_IF_RE} * {_IF_S}) * 10 / {_IF_D})"
+_IF_PW = f"SUM(ROUND(SQRT({_IF_RE} * {_IF_RE} + {_IF_IM} * {_IF_IM}) * 1000))"
+
+
+@q(
+    "ifgram_flatten",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL})
+SELECT {CELL7_SQL} AS cell_id,
+       COUNT(*) AS n_pix,
+       {_IF_SR} / 10.0 AS flat_re,
+       {_IF_SI} / 10.0 AS flat_im,
+       SQRT({_IF_SR} * {_IF_SR} + {_IF_SI} * {_IF_SI}) / 10.0 AS coh_mag,
+       (CASE WHEN {_IF_PW} = 0 THEN 0.0
+             ELSE (SQRT({_IF_SR} * {_IF_SR} + {_IF_SI} * {_IF_SI}) / 10.0)
+                  / ({_IF_PW} / 1000.0) END) AS coherence
+FROM pts GROUP BY 1
+""",
+)
+def ifgram_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coherent per-cell interferogram aggregate over the struct<re,im>
+    layer: flattened complex sum, its magnitude, and coherence = |Σz| / Σ|z|
+    (1.0 when all flattened phasors align — the quantity the reference's
+    height uncertainty consumes downstream of flatten_interferogram)."""
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    re, im = F.col("ifgram.re"), F.col("ifgram.im")
+    t = F.col("phase_t")
+    c, s, d = 1 - t * t, 2 * t, 1 + t * t
+    sr = F.sum((re * c + im * s) * 10 / d)
+    si = F.sum((im * c - re * s) * 10 / d)
+    pw = F.sum(F.round(F.sqrt(re * re + im * im) * 1000))
+    mag = F.sqrt(sr * sr + si * si)
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        (sr / 10.0).alias("flat_re"),
+        (si / 10.0).alias("flat_im"),
+        (mag / 10.0).alias("coh_mag"),
+        F.when(pw == 0, F.lit(0.0))
+        .otherwise((mag / 10.0) / (pw / 1000.0))
+        .alias("coherence"),
     )
 
 

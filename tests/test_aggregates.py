@@ -29,6 +29,43 @@ PLANTED = [
 ]
 
 
+def test_ifgram_flatten_coherence_semantics(spark):
+    # identical aligned phasors -> coherence exactly 1; rotation by the
+    # rational phasor preserves modulus (|z_flat| == |z|); opposite phasors
+    # cancel -> coherence 0
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # cell 1: two identical vectors, t=0 (identity) -> coherence 1
+        (1, 30.0, 40.0, 0),
+        (1, 30.0, 40.0, 0),
+        # cell 2: z and -z -> coherent sum 0
+        (2, 30.0, 40.0, 0),
+        (2, -30.0, -40.0, 0),
+        # cell 3: one vector rotated by t=2 phasor: modulus must stay 50
+        (3, 30.0, 40.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "cell INT, re DOUBLE, im DOUBLE, t INT")
+    re, im, t = F.col("re"), F.col("im"), F.col("t")
+    c, s, d = 1 - t * t, 2 * t, 1 + t * t
+    sr = F.sum((re * c + im * s) * 10 / d)
+    si = F.sum((im * c - re * s) * 10 / d)
+    pw = F.sum(F.round(F.sqrt(re * re + im * im) * 1000))
+    mag = F.sqrt(sr * sr + si * si)
+    out = {
+        r.cell: (r.coh, r.m)
+        for r in df.groupBy("cell")
+        .agg(((mag / 10.0) / (pw / 1000.0)).alias("coh"), (mag / 10.0).alias("m"))
+        .collect()
+    }
+    assert abs(out[1][0] - 1.0) < 1e-12
+    assert abs(out[2][0]) < 1e-12 and abs(out[2][1]) < 1e-12
+    assert abs(out[3][1] - 50.0) < 1e-9 and abs(out[3][0] - 1.0) < 1e-6
+    assert math.isfinite(out[3][0])
+
+
 def test_composite_area_variance_kernel_twins_agree(spark, duck):
     # (cell, cls, area, wfu, dadh, hvar, pfd, pmd) — interior, edge, dark mix
     rows = [
