@@ -378,13 +378,13 @@ def ann_ivf_topk_sql(
             ") CROSS JOIN params3 WHERE pr <= nprobe)"
         ),
         (
-            "cand AS (SELECT DISTINCT p.query_id, p.qe, n.neighbor_id, n.ne "
+            "cand AS (SELECT p.query_id, p.qe, n.neighbor_id, n.ne "
             "FROM probes p JOIN corpus n ON p.cluster = n.cluster "
             "WHERE p.query_id <> n.neighbor_id)"
         ),
         (
-            f"scored AS (SELECT query_id, neighbor_id, {cos('qe', 'ne')} AS cosine "
-            "FROM cand)"
+            "scored AS (SELECT DISTINCT query_id, neighbor_id, "
+            f"{cos('qe', 'ne')} AS cosine FROM cand)"
         ),
         (
             "ranked AS (SELECT query_id, neighbor_id, cosine, "
@@ -428,20 +428,24 @@ def kmeans_centroids(
         a = e.select(
             F.element_at(assign(F.col("embedding")), 1).alias("cid"), "embedding"
         )
+        # ONE job per iteration: per-(cid, dim) integer sums carry the member
+        # count for free (each (cid, d) group has exactly the cid's row count)
         ex = a.select("cid", F.posexplode("embedding").alias("d", "v"))
         sums = (
             ex.groupBy("cid", "d")
             .agg(
                 F.sum(
                     F.round(F.col("v").cast("double") * F.lit(IVF_SCALE)).cast("long")
-                ).alias("s")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("m"),
             )
             .collect()
         )
-        cnts = {r.cid: r.m for r in a.groupBy("cid").agg(F.count(F.lit(1)).alias("m")).collect()}
         by_cid: dict[int, dict[int, int]] = {}
+        cnts: dict[int, int] = {}
         for r in sums:
             by_cid.setdefault(r.cid, {})[r.d] = r.s
+            cnts[r.cid] = r.m
         dim = cmat.shape[1]
         new_cids = np.array(sorted(by_cid), dtype=np.int64)
         cmat = np.stack(
@@ -490,14 +494,15 @@ def ann_ivf_topk(
         "cluster", F.explode(_topn_cid_udf(cmat, cids, nprobe)(F.col("qe")))
     )
     # spill means a (query, neighbor) pair can collide in several probed
-    # clusters — dedup BEFORE scoring so each pair is scored once
-    cand = (
-        qp.join(corpus, "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ne")
-        .distinct()
+    # clusters — duplicates carry identical cosines, so score first and
+    # dedup the SCALAR rows (ids + cosine), never shuffling the 64-dim
+    # arrays through a distinct
+    cand = qp.join(corpus, "cluster").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cand.withColumn("cosine", cosine_col(F.col("qe"), F.col("ne")))
+    scored = cand.withColumn(
+        "cosine", cosine_col(F.col("qe"), F.col("ne"))
+    ).select("query_id", "neighbor_id", "cosine").distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
