@@ -49,6 +49,10 @@ HEADLINE = [
     "exact_k_sample",
     "video_frame_sample",
     "token_count_bpe",
+    "water_area_uncert",
+    "ifgram_flatten",
+    "ann_ivf_topk",
+    "quality_filter",
 ]
 
 

@@ -480,51 +480,79 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
+def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components via star contraction — each round collapses
+    every node's full neighborhood onto its minimum (one simultaneous
+    large-star + small-star in the sense of Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — (doc_id, cluster_id = min
+    reachable id).
+
+    Round: symmetrize the edge set, compute m(u) = min(Γ(u) ∪ {u}), and
+    replace every edge (u, v) with (v, m(u)) plus the anchor (u, m(u)).
+    Connectivity is preserved (u and v both re-link to m(u)) and distances
+    to the component min HALVE per round — a path graph contracts in
+    O(log n) rounds, where plain min-label propagation needs diameter
+    rounds and silently truncates to wrong labels under a fixed round cap.
+    At convergence the edge set is a star per component. Edge tables only;
+    per-round cost ~2|E| shuffle rows; stops early when the edge set is
+    stable. Each round's result is localCheckpoint-ed: iterative plans nest
+    their whole history otherwise and Catalyst re-analysis grows
+    exponentially with round count (at cluster scale swap in a
+    reliable checkpoint dir — same call shape)."""
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .cache()
+    )
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        relinked = (
+            sym.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        anchors = mins.select("u", F.col("m").alias("v"))
+        e2 = (
+            relinked.unionByName(anchors)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    labels = nodes.join(e, nodes.node == e.u, "left").select(
+        F.col("node").alias("doc_id"),
+        F.least(F.col("node"), F.coalesce(F.col("v"), F.col("node"))).alias(
+            "cluster_id"
+        ),
+    )
+    return labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """Connected components over the near-dup pair graph → (doc_id,
     cluster_id = min doc id reachable). The canonical "keep one per
-    near-dup group" step of a training-data pipeline.
-
-    Iterative min-label propagation: each round joins labels to the edge
-    list and takes the elementwise min — O(graph diameter) rounds, one
-    shuffle per round, label table only (never edge^2). Near-dup graphs are
-    bushy with tiny diameters, so 2-4 rounds; at web scale you would swap
-    in large-star/small-star, which this loop's join shape is the inner
-    primitive of."""
+    near-dup group" step of a training-data pipeline. Runs the
+    large-star/small-star rounds (connected_components_star): convergence
+    is O(log n) rounds independent of component diameter, so chain-shaped
+    components cannot outrun the loop the way they could with plain
+    min-label propagation under a fixed round cap."""
     pairs = minhash_lsh_pairs(spark, sf_dir, tau).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .cache()
-    )
-    for _ in range(32):  # diameter bound; converges in a few rounds
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a.alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return connected_components_star(pairs)
 
 
 def dedup_clusters_sql(tau: float) -> str:

@@ -61,6 +61,50 @@ def test_simhash_lane_capacity_holds_on_fixture(spark):
     assert mx < (1 << dd.SIMHASH_LANE_BITS), mx
 
 
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_star_contraction_matches_union_find(spark):
+    import random
+
+    from raster_processor_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(7)
+    cases = {
+        # the diameter killer: a 64-node path (min-label propagation under a
+        # 32-round cap returns WRONG labels here; star contraction is O(log))
+        "path64": [(i, i + 1) for i in range(1, 64)],
+        "pairs": [(1, 2), (3, 4), (10, 11)],
+        "random": [
+            (rng.randrange(1, 200), rng.randrange(1, 200)) for _ in range(150)
+        ],
+        "star": [(1, k) for k in range(2, 30)],
+    }
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = _uf_components(edges, nodes)
+        df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, (name, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
+
+
 def test_minhash_lsh_rows_per_band_knob(spark, duck):
     # r=2 (4 bands x 2 rows) must bit-match its DuckDB twin, and its
     # candidate set is by construction a subset of r=1's — so its PAIR

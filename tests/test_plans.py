@@ -148,10 +148,12 @@ def test_knn_persist_handles_are_returned_and_unpersistable(spark):
     out = knn_op.knn_join(pts, 3, rings=(3,), n_hint=40, persisted=handles)
     assert out.count() > 0
     assert len(handles) == 1
+    assert all(h.storageLevel.useMemory for h in handles)
     for h in handles:
         h.unpersist()
-    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
-        "cached blocks left after unpersist"
+    # scoped to OUR handles (the shared test session may cache elsewhere)
+    assert all(not h.storageLevel.useMemory for h in handles), (
+        "handle still cached after unpersist"
     )
 
 
