@@ -205,19 +205,22 @@ def ngram_jaccard_pairs(
     return _jaccard_pairs(sh, None).where(F.col("jaccard") >= tau)
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, pid, mh): minhash under each permutation.
-
-    All permutation minima fuse into ONE groupBy(doc_id) (no 8x row
-    explosion before the shuffle); the wide signature then unpivots for the
-    band join. Same values as the per-permutation form."""
+def _minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7): all permutation minima fused into ONE
+    groupBy(doc_id) — no 8x row explosion before the shuffle."""
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(MERSENNE31))).alias(
             f"mh{p}"
         )
         for p, a, b in MINHASH_PERMS
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, pid, mh): the per-permutation signature view (unpivoted from
+    the fused wide aggregate). Same values as the per-permutation form."""
+    wide = _minhash_wide(sh)
     stack_args = ", ".join(f"{p}, mh{p}" for p, _, _ in MINHASH_PERMS)
     return wide.select(
         "doc_id",
@@ -235,13 +238,7 @@ def minhash_band_buckets(sh: DataFrame, rows_per_band: int = 1) -> DataFrame:
     Bucket-fold collisions only ever ADD candidates, and the exact-Jaccard
     verify removes them, so the pair output is collision-immune."""
     assert len(MINHASH_PERMS) % rows_per_band == 0
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(MERSENNE31))).alias(
-            f"mh{p}"
-        )
-        for p, a, b in MINHASH_PERMS
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(sh)
     n_bands = len(MINHASH_PERMS) // rows_per_band
     weights = [pow(SID_P, j, MERSENNE31) for j in range(rows_per_band)]
     band_rows = []
