@@ -143,6 +143,14 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_distinct(spark, sf_dir)
 
 
+from raster_processor_spark.operators import decontam as dc
+
+
+@q("decontaminate", dc.decontaminate_sql())
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dc.decontaminate(spark, sf_dir)
+
+
 from raster_processor_spark.operators import packing as pk
 
 

@@ -105,6 +105,32 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, (name, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
 
 
+def test_decontaminate_bloom_superset_of_exact(spark, duck):
+    # Bloom hits must contain every exact hit (no false negatives); the FP
+    # surplus must be small at the fixture's load factor; and the exact
+    # variant must bit-match its own SQL twin
+    from raster_processor_spark.operators import decontam as dc
+
+    bloom = {r.doc_id: r.n_hits for r in dc.decontaminate(spark, SF_ORACLE).collect()}
+    exact = {
+        r.doc_id: r.n_hits
+        for r in dc.decontaminate(spark, SF_ORACLE, exact=True).collect()
+    }
+    assert bloom.keys() == exact.keys()
+    assert all(bloom[d] >= exact[d] for d in exact)
+    surplus = sum(bloom[d] - exact[d] for d in exact)
+    total = sum(bloom.values())
+    assert surplus <= max(10, 0.02 * max(total, 1)), (surplus, total)
+
+    got = sorted(
+        tuple(r) for r in dc.decontaminate(spark, SF_ORACLE, exact=True).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.sql(dc.decontaminate_sql(exact=True)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_minhash_lsh_rows_per_band_knob(spark, duck):
     # r=2 (4 bands x 2 rows) must bit-match its DuckDB twin, and its
     # candidate set is by construction a subset of r=1's — so its PAIR
