@@ -227,3 +227,40 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("quality_filter", tx.quality_filter_sql())
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_filter(spark, sf_dir)
+
+
+_TRAINING_CORPUS_SQL = f"""
+WITH survivors AS ({dd.dedup_survivors_sql(LSH_TAU).strip()}),
+kept AS ({tx.quality_filter_sql().strip()}),
+decon AS ({dc.decontaminate_sql().strip()})
+SELECT s.doc_id, s.source, s.n_chars
+FROM survivors s
+JOIN kept k ON k.doc_id = s.doc_id
+LEFT JOIN decon d ON d.doc_id = s.doc_id
+WHERE s.doc_id % {dc.EVAL_MOD} <> 0
+  AND COALESCE(d.contaminated, FALSE) = FALSE
+"""
+
+
+@q("training_corpus", _TRAINING_CORPUS_SQL)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal curated table — what the pipeline actually ships to the
+    trainer: near-dup clusters collapsed to canonical members
+    (dedup_survivors), the per-language quality floor applied
+    (quality_filter), eval-set documents and anything sharing shingles with
+    them removed (decontaminate). Each stage is the registered operator; at
+    production scale each runs as its own snapshot-checkpointed job and
+    this query is the final anti-join chain over their outputs."""
+    from pyspark.sql import functions as F
+
+    surv = dd.dedup_survivors(spark, sf_dir, LSH_TAU)
+    kept = tx.quality_filter(spark, sf_dir).select("doc_id")
+    bad = dc.decontaminate(spark, sf_dir).where(F.col("contaminated")).select(
+        "doc_id"
+    )
+    return (
+        surv.where(F.pmod(F.col("doc_id"), F.lit(dc.EVAL_MOD)) != 0)
+        .join(kept, "doc_id", "left_semi")
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
