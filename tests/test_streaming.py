@@ -133,3 +133,36 @@ def test_streaming_tile_ingest_equals_batch(spark, tmp_path):
     )
     want = {r.cell_id: (r.n_images, r.total_px) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_packing_matches_batch(spark, tmp_path):
+    """Streaming sequence packing (per-stratum GroupState slot counter) must
+    reproduce the batch pack_assignments exactly when documents arrive in
+    doc_id order per stratum (two range-ordered micro-batches here)."""
+    import time
+
+    from raster_processor_spark.operators import packing as pk
+    from raster_processor_spark.streaming import stateful
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    # two doc_id-range files written in order -> FileStreamSource (sorted by
+    # mod time) delivers them as two in-order micro-batches
+    docs.where("doc_id < 250").orderBy("doc_id").coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mod times (file-source ordering key)
+    docs.where("doc_id >= 250").orderBy("doc_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sdf = stateful.stateful_packing(spark, src)
+    q = jobs.run_to_memory(sdf, "pack_t", mode="append")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, source, n_tokens, size_class, bin_id, overflow FROM pack_t"
+        ).collect()
+    )
+    q.stop()
+    want = sorted(tuple(r) for r in pk.pack_assignments(spark, SF_ORACLE).collect())
+    assert len(got) == len(want) > 0
+    assert got == want
