@@ -239,6 +239,90 @@ def distributed_rank_cut(
     )
 
 
+REP_TOP_FRAC_MAX = 0.20  # most-frequent 2-gram occupies > 20% -> repetitive
+REP_DUP_FRAC_MAX = 0.60  # > 60% of 2-gram slots are repeats -> repetitive
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the word-stream analogues of the
+    public MassiveText repetition filters (Rae et al. 2021: duplicate-line
+    and top-n-gram fractions; this corpus is single-line, so the signals
+    run over 2-grams):
+
+      top_gram_frac = occurrences of the most frequent 2-gram / total
+      dup_gram_frac = occurrences belonging to 2-grams seen more than once
+                      / total
+      repetitive    = either fraction above its threshold
+
+    2-gram ids are the same per-token hash arithmetic as the dedup shingles
+    (no vocab table); counts are exact integers and each fraction is one
+    deterministic division, so the oracle is bit-exact with no rounding.
+    Scale shape: groupBy (doc_id, gram) then groupBy doc_id — both
+    partial-aggregated, no windows, no skew key below doc granularity."""
+    from raster_processor_spark.operators.dedup import (
+        MERSENNE31,
+        SID_P,
+        tokens,
+        word_id_expr,
+    )
+
+    tok = tokens(spark, sf_dir)
+    tw = tok.select("doc_id", "i", word_id_expr(F.col("word")).alias("wid"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    gram = F.pmod(
+        F.col("wid") * F.lit(SID_P) + F.lead("wid", 1).over(w), F.lit(MERSENNE31)
+    )
+    grams = tw.select("doc_id", gram.alias("gram")).where(F.col("gram").isNotNull())
+    counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = counted.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_grams")
+    dup_frac = F.col("dup_c").cast("double") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        (
+            (top_frac > REP_TOP_FRAC_MAX) | (dup_frac > REP_DUP_FRAC_MAX)
+        ).alias("repetitive"),
+    )
+
+
+def repetition_stats_sql() -> str:
+    from raster_processor_spark.operators.dedup import MERSENNE31, SID_P, WID_SQL
+
+    wid = WID_SQL.format(w="word")
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, UNNEST(ws) AS word,
+               UNNEST(generate_series(1, len(ws))) AS i FROM w),
+tw AS (SELECT doc_id, i, {wid} AS wid FROM tok),
+g0 AS (SELECT doc_id,
+              (wid * {SID_P} + LEAD(wid, 1) OVER (PARTITION BY doc_id ORDER BY i))
+                % {MERSENNE31} AS gram
+       FROM tw),
+grams AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+counted AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS BIGINT) AS top_c,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+        FROM counted GROUP BY 1)
+SELECT doc_id, n_grams,
+       CAST(top_c AS DOUBLE) / n_grams AS top_gram_frac,
+       CAST(dup_c AS DOUBLE) / n_grams AS dup_gram_frac,
+       ((CAST(top_c AS DOUBLE) / n_grams > {REP_TOP_FRAC_MAX})
+        OR (CAST(dup_c AS DOUBLE) / n_grams > {REP_DUP_FRAC_MAX})) AS repetitive
+FROM agg
+"""
+
+
 def quality_filter(
     spark: SparkSession, sf_dir: str, drop_frac_permille: int = 200
 ) -> DataFrame:

@@ -229,6 +229,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_filter(spark, sf_dir)
 
 
+@q("repetition_stats", tx.repetition_stats_sql())
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_stats(spark, sf_dir)
+
+
 _TRAINING_CORPUS_SQL = f"""
 WITH survivors AS ({dd.dedup_survivors_sql(LSH_TAU).strip()}),
 kept AS ({tx.quality_filter_sql().strip()}),

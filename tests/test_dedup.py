@@ -105,6 +105,39 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, (name, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
 
 
+def test_repetition_stats_flags_planted_docs(spark):
+    # a doc that is one phrase repeated must flag; a doc of all-distinct
+    # words must not (every 2-gram unique)
+    import raster_processor_spark.operators.text as tx
+    from raster_processor_spark.operators import dedup as mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50, "s"),           # top 2-gram ~50% -> flag
+            (2, " ".join(f"w{i}" for i in range(100)), "s"),  # distinct
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+
+    import raster_processor_spark.operators.dedup as dd
+
+    orig = dd.tokens
+
+    def fake_tokens(_spark, _sf):
+        from pyspark.sql import functions as F
+
+        d = docs.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+        return d.select("doc_id", F.posexplode("ws").alias("i", "word"))
+
+    dd.tokens = fake_tokens
+    try:
+        got = {r.doc_id: r for r in tx.repetition_stats(spark, "unused").collect()}
+    finally:
+        dd.tokens = orig
+    assert got[1].repetitive and got[1].top_gram_frac > 0.4
+    assert not got[2].repetitive and got[2].dup_gram_frac == 0.0
+
+
 def test_decontaminate_bloom_superset_of_exact(spark, duck):
     # Bloom hits must contain every exact hit (no false negatives); the FP
     # surplus must be small at the fixture's load factor; and the exact
