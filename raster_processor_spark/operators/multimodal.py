@@ -321,3 +321,86 @@ ids AS (SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
 SELECT e.image_id, e.tw, e.th, e.thumb_bytes
 FROM expected e JOIN ids USING (image_id)
 """
+
+
+# ------------------------------------------------------------ curation -------
+# Metadata-level image curation — the image-side twin of the text quality
+# filters: flag undersized images, extreme aspect ratios, implausibly
+# compressible payloads (blank/synthetic-junk proxy), and malformed
+# captions, all as JVM codegen expressions over (w, h, fmt, bytes, caption)
+# — the decode path never runs, so at 10^12 images this is a metadata scan.
+
+CUR_MIN_DIM = 32
+CUR_MAX_ASPECT = 2        # strictly greater than 2:1 either way -> extreme
+CUR_MIN_BPP_MILLI = 100   # bytes*1000 // (w*h*3); below -> near-blank
+
+
+def image_curation(images: DataFrame) -> DataFrame:
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    n_bytes = F.length("bytes").cast("long")
+    bpp_milli = F.expr("CAST(length(bytes) AS BIGINT) * 1000 div (CAST(w AS BIGINT) * h * 3)")
+    too_small = F.least(w, h) < CUR_MIN_DIM
+    extreme = F.greatest(w, h) > CUR_MAX_ASPECT * F.least(w, h)
+    caption_ok = (
+        F.col("caption").startswith("synthetic scene ")
+        & F.col("caption").endswith(F.col("image_id"))
+        & (F.length("caption") < 64)
+    )
+    keep = (
+        ~too_small & ~extreme & caption_ok & (bpp_milli >= CUR_MIN_BPP_MILLI)
+    )
+    return images.select(
+        "image_id",
+        w.alias("w"),
+        h.alias("h"),
+        "fmt",
+        n_bytes.alias("n_bytes"),
+        bpp_milli.alias("bpp_milli"),
+        too_small.alias("too_small"),
+        extreme.alias("extreme_aspect"),
+        caption_ok.alias("caption_ok"),
+        keep.alias("keep"),
+    )
+
+
+def _expected_curation_rows(n: int) -> list[tuple]:
+    rows = []
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        w, h = codec.dims_for(iid)
+        fmt = codec.fmt_for(iid)
+        buf = codec.encode(codec.gen_pixels(iid, w, h), fmt)
+        nb = len(buf)
+        bpp = nb * 1000 // (w * h * 3)
+        cap = codec.caption_for(iid)
+        too_small = min(w, h) < CUR_MIN_DIM
+        extreme = max(w, h) > CUR_MAX_ASPECT * min(w, h)
+        caption_ok = (
+            cap.startswith("synthetic scene ")
+            and cap.endswith(iid)
+            and len(cap) < 64
+        )
+        keep = (
+            not too_small and not extreme and caption_ok
+            and bpp >= CUR_MIN_BPP_MILLI
+        )
+        rows.append((iid, w, h, fmt, nb, bpp, too_small, extreme, caption_ok, keep))
+    return rows
+
+
+def image_curation_oracle_sql(n: int) -> str:
+    vals = ",\n".join(
+        f"('{iid}', CAST({w} AS BIGINT), CAST({h} AS BIGINT), '{fmt}', "
+        f"CAST({nb} AS BIGINT), CAST({bpp} AS BIGINT), "
+        f"{str(ts).upper()}, {str(ex).upper()}, {str(co).upper()}, {str(kp).upper()})"
+        for iid, w, h, fmt, nb, bpp, ts, ex, co, kp in _expected_curation_rows(n)
+    )
+    return f"""
+WITH expected(image_id, w, h, fmt, n_bytes, bpp_milli, too_small,
+              extreme_aspect, caption_ok, keep) AS (
+  VALUES {vals}
+),
+ids AS (SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+        FROM documents WHERE doc_id < {n})
+SELECT e.* FROM expected e JOIN ids USING (image_id)
+"""

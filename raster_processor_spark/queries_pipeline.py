@@ -118,6 +118,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbs.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))
 
 
+_CUR_N = 300
+
+
+@q("image_curation", _mm.image_curation_oracle_sql(_CUR_N))
+def image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level image curation flags over the synthetic image table
+    (first _CUR_N ids) — no decode in the plan, pure codegen exprs."""
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark import datagen
+    from raster_processor_spark.operators import multimodal as mm
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") < _CUR_N)
+    )
+    return mm.image_curation(datagen.images_from_ids(d.repartition(4)))
+
+
 @q("dedup_clusters", dd.dedup_clusters_sql(LSH_TAU))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(spark, sf_dir, LSH_TAU)
