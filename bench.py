@@ -53,6 +53,9 @@ HEADLINE = [
     "ifgram_flatten",
     "ann_ivf_topk",
     "quality_filter",
+    "decontaminate",
+    "repetition_stats",
+    "image_curation",
 ]
 
 
