@@ -296,6 +296,56 @@ def _simhash_nibble_sources() -> list[tuple[int, int]]:
     return out
 
 
+def incremental_lsh_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, new_mod: int = 5,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Near-dup pairs ADDED by a newly arrived batch: (new x new) ∪
+    (new x existing) — existing x existing is never recomputed, which is
+    what makes LSH dedup incremental at corpus scale (the existing side's
+    band buckets and shingles come from the prior run's snapshot; here both
+    derive from the same fixture split: "new" = doc_id % new_mod ==
+    new_mod-1).
+
+    Because band buckets are a pure function of each document alone, the
+    incremental pair set is EXACTLY the full run's pair set restricted to
+    pairs touching the new batch — the registered oracle states that
+    equivalence directly."""
+    sh = shingles(spark, sf_dir).cache()
+    is_new = F.pmod(F.col("doc_id"), F.lit(new_mod)) == new_mod - 1
+    bb = minhash_band_buckets(sh, rows_per_band)
+    b_new = bb.where(is_new)
+    b_old = bb.where(~is_new)
+    n1 = b_new.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    n2 = b_new.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    o2 = b_old.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand_nn = (
+        n1.join(n2, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand_no = (
+        n1.join(o2, ["band", "bucket"])
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+    )
+    cand = cand_nn.unionByName(cand_no).distinct()
+    return _jaccard_pairs(sh, cand).where(F.col("jaccard") >= tau)
+
+
+def incremental_lsh_sql(tau: float, new_mod: int = 5) -> str:
+    """Oracle: the full-run LSH pairs restricted to pairs touching the new
+    batch — the exact set the incremental computation must produce."""
+    full = minhash_lsh_sql(tau).strip()
+    return f"""
+WITH full_pairs AS ({full})
+SELECT doc_a, doc_b, jaccard FROM full_pairs
+WHERE doc_a % {new_mod} = {new_mod - 1} OR doc_b % {new_mod} = {new_mod - 1}
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document: bit b = majority of hash-bit b over
     shingles (bit set iff 2*count_of_set_bits > n — identical to the ±1-sum

@@ -35,6 +35,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(spark, sf_dir, LSH_TAU)
 
 
+@q("dedup_incremental", dd.incremental_lsh_sql(LSH_TAU))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch LSH dedup against the existing corpus — never recomputes
+    existing x existing; oracle = full-run pairs touching the new batch."""
+    return dd.incremental_lsh_pairs(spark, sf_dir, LSH_TAU)
+
+
 @q("dedup_simhash", dd.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(spark, sf_dir)

@@ -105,6 +105,29 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, (name, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
 
 
+def test_incremental_dedup_partitions_the_full_pair_set(spark):
+    # full-run pairs = (old-corpus-only pairs) ⊎ (incremental new-batch
+    # pairs) — proves the incremental path adds exactly the missing pairs
+    # and never duplicates or drops any
+    from pyspark.sql import functions as F
+
+    from raster_processor_spark.operators import dedup as dd
+
+    tau, new_mod = 0.3, 5
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(spark, SF_ORACLE, tau).collect()
+    }
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in dd.incremental_lsh_pairs(spark, SF_ORACLE, tau, new_mod).collect()
+    }
+    is_new = lambda d: d % new_mod == new_mod - 1
+    old_only = {p for p in full if not is_new(p[0]) and not is_new(p[1])}
+    assert incr == full - old_only
+    assert incr and old_only, "fixture must exercise both sides"
+
+
 def test_repetition_stats_flags_planted_docs(spark):
     # a doc that is one phrase repeated must flag; a doc of all-distinct
     # words must not (every 2-gram unique)

@@ -201,6 +201,22 @@ def test_distributed_rank_cut_matches_window_rank_on_skewed_group(spark):
     assert got == want and len(got) > 0
 
 
+def test_no_row_at_a_time_python_in_any_registered_query(spark):
+    # plan-only: BatchEvalPython is the row-at-a-time Python UDF operator —
+    # 10-100x slower than Arrow-batched evaluation and banned engine-wide.
+    # Python must appear only as ArrowEvalPython / FlatMapGroupsInPandas /
+    # MapInPandas / FlatMapCoGroupsInPandas.
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = (
+            spec.spark(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
 def test_no_global_window_in_any_registered_query(spark):
     # plan-only: a Window whose partition spec is empty moves ALL rows to
     # one task (the round-1 vocab-window scale killer class). In the plan
