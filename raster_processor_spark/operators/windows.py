@@ -84,3 +84,39 @@ def asof_join(
     for c in dim_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.where(F.col("_is_fact") == 1).drop("_ts", "_is_fact")
+
+
+# ---------------------------------------------------------- interval join ---
+
+def interval_join(
+    events: "DataFrame",
+    intervals: "DataFrame",
+    bucket_us: int,
+):
+    """Point-in-interval overlap join: events(tus, ...) x intervals(s, e,
+    ...) on s <= tus <= e — WITHOUT an inequality-only (theta) join, which
+    Spark can only execute as a broadcast nested loop or cartesian.
+
+    Time is tiled into fixed buckets of ``bucket_us`` microseconds, chosen
+    >= the maximum interval duration so every interval touches at most two
+    buckets: each interval replicates into its covered buckets (sequence
+    explode, <= 2 rows), events carry their single bucket, and the heavy
+    work is an EQUI-join on the bucket key with the range predicate as a
+    post-join refine — shuffle is |events| + <= 2|intervals| rows, joins
+    co-partition by bucket, and skewed buckets salt/AQE like any hash join.
+    The same tile-then-refine shape as the spatial point-in-polygon join,
+    applied to the time axis."""
+    from pyspark.sql import functions as F
+
+    iv = intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {bucket_us}"), F.expr(f"e div {bucket_us}")
+            )
+        ),
+    )
+    ev = events.withColumn("bucket", F.expr(f"tus div {bucket_us}"))
+    return ev.join(iv, "bucket").where(
+        (F.col("tus") >= F.col("s")) & (F.col("tus") <= F.col("e"))
+    )

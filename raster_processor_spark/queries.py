@@ -904,6 +904,67 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================ interval join ==
+# point-in-interval overlap join (time axis): the temporal analogue of the
+# two-phase spatial join — tile, equi-join, refine. Deterministic intervals
+# derived from orders into the events window.
+
+_IV_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z (events window)
+_IV_SPAN_US = 29 * 86_400_000_000
+_IV_HOUR_US = 3_600_000_000
+_IV_BUCKET_US = 12 * _IV_HOUR_US  # >= max duration -> <= 2 buckets/interval
+_IV_MOD = 20  # every 20th order becomes an interval
+
+
+@q(
+    "interval_join",
+    f"""
+WITH iv AS (
+  SELECT o_orderkey AS order_id,
+         {_IV_BASE_US} + ((o_orderkey * 7919) % {_IV_SPAN_US}) AS s,
+         {_IV_BASE_US} + ((o_orderkey * 7919) % {_IV_SPAN_US})
+           + ((o_custkey % 12) + 1) * {_IV_HOUR_US} AS e
+  FROM orders WHERE o_orderkey % {_IV_MOD} = 0
+),
+ev AS (SELECT epoch_us(ts) AS tus, value FROM events)
+SELECT order_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(ROUND(value * 1000000.0)) AS BIGINT) AS sum_value_micro
+FROM iv JOIN ev ON ev.tus >= iv.s AND ev.tus <= iv.e
+GROUP BY 1
+""",
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events aggregated per overlapping interval. The oracle states the
+    plain theta-join semantics; the Spark plan is the bucketized equi-join
+    (operators/windows.interval_join) — never a cartesian/nested loop.
+    Event values integerize at 1e-6 so the per-interval sums are exact."""
+    iv = (
+        load(spark, sf_dir, "orders")
+        .where(F.pmod(F.col("o_orderkey"), F.lit(_IV_MOD)) == 0)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            (
+                F.lit(_IV_BASE_US)
+                + F.pmod(F.col("o_orderkey") * 7919, F.lit(_IV_SPAN_US))
+            ).alias("s"),
+            (F.pmod(F.col("o_custkey"), F.lit(12)) + 1).alias("_dh"),
+        )
+        .withColumn("e", F.col("s") + F.col("_dh") * F.lit(_IV_HOUR_US))
+        .drop("_dh")
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"), "value"
+    )
+    joined = win.interval_join(ev, iv, _IV_BUCKET_US)
+    return joined.groupBy("order_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000.0)).cast("long").alias(
+            "sum_value_micro"
+        ),
+    )
+
+
 # ================================================================ U1/U4 ======
 # multi-tile union + overlap dedup (products.py:2216-2227 TVP dedup)
 

@@ -201,6 +201,18 @@ def test_distributed_rank_cut_matches_window_rank_on_skewed_group(spark):
     assert got == want and len(got) > 0
 
 
+def test_interval_join_is_bucketed_equi_join(spark):
+    # the range predicate must ride an equi-join on the time bucket — a
+    # plain theta join would plan as BroadcastNestedLoopJoin (quadratic
+    # compare work at scale even when broadcast fits)
+    df = REGISTRY["interval_join"].spark(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "bucket" in plan and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan)
+    # and the results are genuinely populated (overlaps exist)
+    assert df.count() > 100
+
+
 def test_no_row_at_a_time_python_in_any_registered_query(spark):
     # plan-only: BatchEvalPython is the row-at-a-time Python UDF operator —
     # 10-100x slower than Arrow-batched evaluation and banned engine-wide.
