@@ -98,3 +98,77 @@ WITH r AS (
 SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank
 FROM r WHERE rn <= {k}
 """
+
+
+# ----------------------------------------------------- temperature sample ---
+
+def temperature_sample(
+    spark: SparkSession, sf_dir: str, alpha_permille: int = 500,
+    frac_permille: int = 500,
+) -> DataFrame:
+    """Temperature-based source resampling — the alpha-weighted source
+    mixing step of a pretraining pipeline: per-source keep probability
+    p_s ∝ n_s^(alpha-1) scaled so the expected kept total is
+    frac_permille/1000 of the corpus (capped at 1 for tiny sources —
+    without replacement, a source cannot up-sample). alpha < 1 flattens the
+    source distribution toward uniform; alpha = 1 is plain rate sampling.
+
+    Deterministic end-to-end: membership is the same hash-threshold as
+    rate_sample with a per-source threshold floor(p_s * 1e6), and p_s comes
+    from a closed-form over the tiny per-source count table (one sqrt and
+    two divisions in a FIXED op order, identical in DuckDB). Plan shape:
+    corpus-scale work is one groupBy(source) count + one broadcast join +
+    a narrow filter — no windows, no second corpus shuffle."""
+    assert alpha_permille == 500, (
+        "only alpha = 1/2 is cross-engine exact (n^0.5 is IEEE sqrt, "
+        "correctly rounded in both engines; pow() is not)"
+    )
+    frac = frac_permille / 1000.0
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # z integerizes each sqrt at 1e-9 before the SUM so the (tiny) source
+    # table's sum is order-immune across engines
+    t = c.agg(
+        (
+            F.sum(F.round(F.sqrt(F.col("n").cast("double")) * 1e9)) / 1e9
+        ).alias("z"),
+        F.sum("n").alias("total"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.col("total").cast("double") * F.lit(frac) / F.col("z")
+        / F.sqrt(F.col("n").cast("double")),
+    )
+    rates = c.crossJoin(F.broadcast(t)).select(
+        "source", F.floor(p * 1000000.0).cast("long").alias("p_micro")
+    )
+    keep = F.pmod(_mix_col(F.col("doc_id")), F.lit(1000000)) < F.col("p_micro")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(keep)
+        .select("doc_id", "source", "p_micro")
+    )
+
+
+def temperature_sample_sql(
+    alpha_permille: int = 500, frac_permille: int = 500
+) -> str:
+    assert alpha_permille == 500
+    frac = frac_permille / 1000.0
+    mix = _mix_sql("doc_id")
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(ROUND(SQRT(CAST(n AS DOUBLE)) * 1000000000.0)) / 1000000000.0 AS z,
+             SUM(n) AS total FROM c),
+r AS (SELECT source,
+             CAST(FLOOR(LEAST(1.0,
+                    CAST(total AS DOUBLE) * {frac} / z
+                    / SQRT(CAST(n AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS p_micro
+      FROM c, t)
+SELECT d.doc_id, d.source, r.p_micro
+FROM documents d JOIN r USING (source)
+WHERE {mix} % 1000000 < r.p_micro
+"""

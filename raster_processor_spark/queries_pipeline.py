@@ -205,6 +205,11 @@ def rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.rate_sample(spark, sf_dir)
 
 
+@q("temperature_sample", smp.temperature_sample_sql())
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return smp.temperature_sample(spark, sf_dir)
+
+
 @q("exact_k_sample", smp.exact_k_sample_sql())
 def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.exact_k_sample(spark, sf_dir)
