@@ -296,6 +296,59 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================ J7+A17 hist ====
+# zonal class histogram: per-polygon class composition of the pixel cloud
+# (the classic raster zonal-histogram op; counts are exact integers, all 7
+# classes pivoted into fixed columns in the SAME fused groupBy)
+
+_ZCH_COUNTS_SQL = ",\n       ".join(
+    f"COUNT(CASE WHEN classification = {k} THEN 1 END) AS n_class_{k}"
+    for k in range(1, 8)
+)
+
+
+# the pixc fixture has DUPLICATE keys (the synthetic lineitem repeats
+# (orderkey, linenumber) pairs) with identical coordinates — containment
+# runs once per DISTINCT location and joins back to the rows, which is both
+# the correct semantics (a pixel's membership depends only on its location)
+# and cheaper (|locations| < |rows|). The oracle's group-by-key ray-cast
+# REQUIRES the distinct: duplicate rows would double the crossing sum and
+# flip the even-odd parity.
+_PIXC_POS_SQL = f"SELECT DISTINCT key, lat, lon FROM ({PIXC_PTS_SQL})"
+
+
+@q(
+    "zonal_class_histogram",
+    f"""
+WITH pip AS ({{pip}}),
+pts AS ({PIXC_PTS_SQL})
+SELECT pip.poly_id AS poly_id,
+       COUNT(*) AS n_pix,
+       {_ZCH_COUNTS_SQL}
+FROM pip JOIN pts ON pip.key = pts.key
+GROUP BY 1
+""".format(pip=sj.pip_join_sql(_PIXC_POS_SQL, N_POLYS)),
+)
+def zonal_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pixc_points(spark, sf_dir)
+    pos = pts.select("key", "lat", "lon").distinct()
+    pip = sj.point_in_polygon_join(
+        pos, N_POLYS, F.col("lat"), F.col("lon"), F.col("key")
+    )
+    cls = F.col("classification")
+    return (
+        pip.join(pts, "key")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pix"),
+            *[
+                F.count(F.when(cls == k, F.lit(1))).alias(f"n_class_{k}")
+                for k in range(1, 8)
+            ],
+        )
+    )
+
+
 # ====================================================================== J9 ===
 # kNN via ring expansion
 
