@@ -62,6 +62,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset — the "isolated" protocol
+    # used to adjudicate session-amplification (BENCH/BASELINE.md §protocol)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
     spark = get_spark(cpus=cpus, app_name="rps_bench")
 
     # warm the JVM + Python worker pool once (not timed)
@@ -77,7 +81,7 @@ def main() -> None:
     # `value` stays the pass-1 total for continuity with BENCH_r01.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].spark
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -91,6 +95,12 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        # force a driver GC so ContextCleaner reclaims this query's
+        # broadcasts / shuffles / checkpoint blocks NOW instead of minutes
+        # later — without it, block-manager state from 35 queries stacks up
+        # and late-session heavy queries degrade multi-fold (the round-3
+        # session-amplification bug). ~0.1 s per query; untimed.
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -383,7 +383,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         word = term if word is None else word + term
-    return agged.select("doc_id", word.cast("long").alias("simhash"))
+    # runtime lane guard: a document with >= 2^15 distinct shingles would
+    # bleed one packed counter into its neighbor and corrupt the fingerprint
+    # SILENTLY — fail loudly instead. n is already in the aggregate, so the
+    # check is one comparison per document; the branch is dead code on any
+    # corpus satisfying the bound (and the DuckDB twin, which has no packing
+    # to protect, needs no counterpart).
+    guarded = F.when(
+        F.col("n") >= F.lit(1 << SIMHASH_LANE_BITS),
+        F.raise_error(
+            F.lit(
+                "simhash: document exceeds 2^15 distinct shingles; packed "
+                "lane counters would overflow — widen SIMHASH_LANE_BITS or "
+                "split the document upstream"
+            )
+        ).cast("long"),
+    ).otherwise(word.cast("long"))
+    return agged.select("doc_id", guarded.alias("simhash"))
 
 
 # --------------------------------------------------------- SQL oracle twins --
@@ -527,6 +543,19 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a localCheckpoint()ed
+    DataFrame NOW (the plan is a LogicalRDD over a persisted internal RDD;
+    unpersist it directly). Best-effort: if the internals move, the blocks
+    are still reclaimed by the driver's periodic-GC ContextCleaner pass —
+    this just makes iterative loops O(1) in checkpoint storage instead of
+    O(rounds) between GCs."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Connected components via star contraction — each round collapses
     every node's full neighborhood onto its minimum (one simultaneous
@@ -545,19 +574,25 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFra
     stable. Each round's result is localCheckpoint-ed: iterative plans nest
     their whole history otherwise and Catalyst re-analysis grows
     exponentially with round count (at cluster scale swap in a
-    reliable checkpoint dir — same call shape)."""
-    nodes = (
-        edges.select(F.col("doc_a").alias("node"))
-        .unionByName(edges.select(F.col("doc_b").alias("node")))
-        .distinct()
-        .cache()
-    )
-    e = (
+    reliable checkpoint dir — same call shape). The input edge table is
+    evaluated exactly once (the e0 checkpoint feeds both the node set and
+    round 0), the convergence probe is ONE job per round (signed-union
+    symmetric difference — exact on the distinct edge sets, vs the two
+    exceptAll shuffles it replaces), and every intermediate round's
+    checkpoint blocks are freed as soon as the next round materializes
+    (only e0 and the final edge set stay alive for the returned plan)."""
+    e0 = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e = e0.where(F.col("u") != F.col("v"))
+    prev_ckpt: DataFrame | None = None  # intermediate round to free
     for _ in range(max_rounds):
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -575,10 +610,21 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFra
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # ONE job: both sides are distinct sets, so a +1/-1 signed union
+        # groupBy finds any symmetric-difference row exactly; limit(1)
+        # short-circuits the probe
         changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+            e2.withColumn("_s", F.lit(1))
+            .unionByName(e.withColumn("_s", F.lit(-1)))
+            .groupBy("u", "v")
+            .agg(F.sum("_s").alias("_d"))
+            .where(F.col("_d") != 0)
+            .limit(1)
+            .count()
         )
-        e = e2
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt, e = e2, e2
         if changed == 0:
             break
     labels = nodes.join(e, nodes.node == e.u, "left").select(

@@ -69,7 +69,6 @@ def knn_join(
     res: int | None = None,
     rings: tuple[int, ...] = (3, 12),
     n_hint: int | None = None,
-    persisted: list | None = None,
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
@@ -82,10 +81,12 @@ def knn_join(
     ``n_hint`` does the function fall back to an eager pts.count(), which
     costs a full extra scan — avoid at scale.
 
-    Per-ring phase outputs carry persist() so the output union and the
-    next phase's anti-join share one evaluation; the handles are appended
-    to ``persisted`` (pass a list and unpersist after your action) —
-    otherwise they stay cached for the session's lifetime."""
+    Each ring's accepted set feeds the final union AND the next phase's
+    anti-join; the expensive part (candidate equi-join + its Exchange) is
+    shared between the two consumers via ReusedExchange, so there is no
+    persist() — measured identical-or-faster than a persisted variant, and
+    stateless: nothing survives the query (a persisted variant leaked one
+    cached ring per invocation for the session's lifetime)."""
     spark = points.sparkSession
     pts = points.select("key", "lat", "lon")
     if res is None:
@@ -159,15 +160,14 @@ def knn_join(
                 "_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit)
             )
         )
-        # persist hint (no eager materialization): the accepted set is
-        # referenced twice in the final plan — once in the output union and
-        # once to derive the next phase's unresolved anti-join — so the
-        # expensive candidate join + window evaluates once, not per consumer
+        # the accepted set is referenced twice in the final plan — once in
+        # the output union and once to derive the next phase's unresolved
+        # anti-join; both consumers sit on the same candidate-join Exchange,
+        # which Spark reuses (ReusedExchange), so only the cheap window
+        # re-runs per consumer — no persist, no session-lifetime cache state
         got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
             "qkey", "nkey", "dist2", "rank"
-        ).persist()
-        if persisted is not None:
-            persisted.append(got)
+        )
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")

@@ -338,7 +338,13 @@ CUR_MIN_BPP_MILLI = 100   # bytes*1000 // (w*h*3); below -> near-blank
 def image_curation(images: DataFrame) -> DataFrame:
     w, h = F.col("w").cast("long"), F.col("h").cast("long")
     n_bytes = F.length("bytes").cast("long")
-    bpp_milli = F.expr("CAST(length(bytes) AS BIGINT) * 1000 div (CAST(w AS BIGINT) * h * 3)")
+    # GREATEST(..., 1) denominator: a row with w=0 or h=0 is exactly the
+    # malformed metadata this operator exists to FLAG (too_small) — it must
+    # not crash the scan with DIVIDE_BY_ZERO under an ANSI session
+    bpp_milli = F.expr(
+        "CAST(length(bytes) AS BIGINT) * 1000"
+        " div GREATEST(CAST(w AS BIGINT) * h * 3, 1)"
+    )
     too_small = F.least(w, h) < CUR_MIN_DIM
     extreme = F.greatest(w, h) > CUR_MAX_ASPECT * F.least(w, h)
     caption_ok = (

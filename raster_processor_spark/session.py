@@ -49,6 +49,28 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long-session hygiene (a many-query session accumulates state that
+        # the defaults only reclaim lazily, multiplying late-session query
+        # cost several-fold):
+        #   * ReservedCodeCacheSize: the JVM default (240MB, ~118MB for
+        #     profiled nmethods) fills after a few dozen whole-stage-codegen
+        #     plans; once full the JIT flushes/deoptimizes hot methods and
+        #     heavy queries run partially interpreted. 1g removes the cliff.
+        #   * periodicGC.interval: ContextCleaner frees broadcasts /
+        #     shuffle files / RDD blocks only when driver GC collects their
+        #     handles; with a 48g heap organic GCs are rare and the default
+        #     periodic GC is 30min — far longer than a whole bench session.
+        #     2min bounds block-manager growth without measurable overhead.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # reused Python workers are kept forever by default; a session that
+        # mixes many Arrow UDF stages grows the pool monotonically (measured
+        # 66 workers / 6.3GB RSS after one 35-query session). Idle workers
+        # older than 2min are reaped (no-op on Spark versions without it).
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ANSI off: the engine relies on wrap-around-free modular arithmetic it
@@ -81,6 +103,8 @@ def get_spark_submitted(app_name: str = "raster_processor_spark") -> SparkSessio
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
     )
     spark = builder.getOrCreate()
     par = spark.sparkContext.defaultParallelism

@@ -94,8 +94,13 @@ def _pack_update(
     per_bin = max(CAPACITY // int(size_class), 1)
     rank = state.get[0] if state.exists else 0
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
+    # pdfs is an iterable of Arrow CHUNKS of one group's micro-batch: sort
+    # once over the concatenation — per-chunk sorting would assign ranks in
+    # chunk order and silently break the stream==batch equivalence whenever
+    # a stratum's batch spans multiple chunks
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
             out.append(
                 (

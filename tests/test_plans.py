@@ -137,24 +137,22 @@ def test_knn_empty_ring_schedule_falls_back_to_brute(spark):
     assert got == [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)]
 
 
-def test_knn_persist_handles_are_returned_and_unpersistable(spark):
+def test_knn_is_stateless_no_cache_survives_the_query(spark):
+    # knn_join must leave NOTHING cached behind (the round-3 version
+    # persisted one ring per invocation for the session's lifetime — a
+    # session-amplification source); the dual consumption of each ring's
+    # accepted set rides on ReusedExchange instead.
     from raster_processor_spark.operators import knn as knn_op
 
+    spark.catalog.clearCache()
     pts = spark.createDataFrame(
         [(i, float(i % 7), float(i % 11)) for i in range(40)],
         "key BIGINT, lat DOUBLE, lon DOUBLE",
     )
-    handles: list = []
-    out = knn_op.knn_join(pts, 3, rings=(3,), n_hint=40, persisted=handles)
+    out = knn_op.knn_join(pts, 3, rings=(3,), n_hint=40)
     assert out.count() > 0
-    assert len(handles) == 1
-    assert all(h.storageLevel.useMemory for h in handles)
-    for h in handles:
-        h.unpersist()
-    # scoped to OUR handles (the shared test session may cache elsewhere)
-    assert all(not h.storageLevel.useMemory for h in handles), (
-        "handle still cached after unpersist"
-    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "knn_join left entries in the CacheManager"
 
 
 def test_quality_filter_has_no_constant_cardinality_rank_window(spark):
