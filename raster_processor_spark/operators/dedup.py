@@ -543,17 +543,9 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Release the block-manager storage behind a localCheckpoint()ed
-    DataFrame NOW (the plan is a LogicalRDD over a persisted internal RDD;
-    unpersist it directly). Best-effort: if the internals move, the blocks
-    are still reclaimed by the driver's periodic-GC ContextCleaner pass —
-    this just makes iterative loops O(1) in checkpoint storage instead of
-    O(rounds) between GCs."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+from raster_processor_spark.checkpoints import (  # noqa: E402
+    free_local_checkpoint as _free_local_checkpoint,
+)
 
 
 def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:

@@ -247,6 +247,12 @@ WHERE a.vec_id < b.vec_id AND {cos} >= {tau}
 IVF_SPILL = 2
 IVF_ITERS = 2
 IVF_SCALE = 1048576.0  # 2^20: eint = ROUND(v * 2^20) is exact (power of 2)
+# k-means trains on the smallest-IVF_SAMPLE_CAP mix-hash rows — a
+# deterministic uniform sample (FAISS trains on a bounded sample the same
+# way). Below the cap it is a no-op, so small-corpus results are unchanged;
+# above it, every training structure (assignment passes, per-centroid
+# driver rows) is bounded by the cap instead of growing with the corpus.
+IVF_SAMPLE_CAP = 1 << 16
 
 
 def ivf_params(n: int) -> tuple[int, int]:
@@ -329,10 +335,17 @@ def ann_ivf_topk_sql(
             f"list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * {IVF_SCALE})) AS eint "
             "FROM embeddings)"
         ),
+        # the bounded training sample (smallest-cap mix-hash rows) — a no-op
+        # below the cap, replayed so the twin matches kmeans_centroids'
+        # sample_cap at any corpus size
+        (
+            "samp AS (SELECT vec_id, e, eint FROM ev "
+            f"ORDER BY {_mix_sql('vec_id')}, vec_id LIMIT {IVF_SAMPLE_CAP})"
+        ),
         (
             "c0 AS (SELECT cid, e AS ce FROM ("
             f"SELECT ROW_NUMBER() OVER (ORDER BY {_mix_sql('vec_id')}, vec_id) - 1"
-            " AS cid, e FROM ev) CROSS JOIN params3 WHERE cid < kc)"
+            " AS cid, e FROM samp) CROSS JOIN params3 WHERE cid < kc)"
         ),
     ]
     for i in range(1, iters + 1):
@@ -343,7 +356,7 @@ def ann_ivf_topk_sql(
                 f"SELECT v.vec_id, v.eint, c.cid, "
                 f"ROW_NUMBER() OVER (PARTITION BY v.vec_id "
                 f"ORDER BY {cos('v.e', 'c.ce')} DESC, c.cid ASC) AS r "
-                f"FROM ev v CROSS JOIN {prev} c) WHERE r = 1)"
+                f"FROM samp v CROSS JOIN {prev} c) WHERE r = 1)"
             ),
             (
                 f"u{i} AS (SELECT cid, UNNEST(eint) AS val, "
@@ -400,7 +413,8 @@ def ann_ivf_topk_sql(
 
 
 def kmeans_centroids(
-    e: DataFrame, n_centroids: int, iters: int = IVF_ITERS
+    e: DataFrame, n_centroids: int, iters: int = IVF_ITERS,
+    sample_cap: int = IVF_SAMPLE_CAP,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed Lloyd iterations with a deterministic mix-hash seed —
     (centroid matrix, cid array), bit-identical to the SQL twin's replay.
@@ -408,57 +422,174 @@ def kmeans_centroids(
     Seeding: the n_centroids vectors with the smallest LCG mix-hash of
     vec_id (a deterministic uniform sample; at 10^12 scale the k-means||
     oversample-then-reduce pass slots in here with the same hash tape).
+    Training corpus: the smallest-``sample_cap`` rows of the SAME hash
+    order (one distributed top-k; a no-op below the cap) — so training
+    never scans more than the cap no matter the corpus size.
     Update exactness: per-dimension sums run over ROUND(v * 2^20) integers
     (exact — scaling by a power of two), so the sum is order-immune and the
-    centroid is one deterministic division. Driver traffic is O(k * dim)
-    per iteration (the centroid table only — never corpus rows)."""
+    centroid is one deterministic division. The update aggregates straight
+    to assembled centroid VECTORS as a DataFrame (per-(cid,dim) sums →
+    array_sort/transform assembly), so driver traffic per iteration is one
+    row per centroid — never per-(cid,dim) rows, never corpus rows."""
     from raster_processor_spark.operators.sampling import _mix_col
 
-    spark = e.sparkSession
-    seeds = (
-        e.select(_mix_col(F.col("vec_id")).alias("h"), "vec_id", "embedding")
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .collect()
+    hashed = e.select(
+        _mix_col(F.col("vec_id")).alias("h"), "vec_id", "embedding"
     )
+    train = hashed.orderBy("h", "vec_id").limit(sample_cap)
+    seeds = train.limit(n_centroids).collect()
     cids = np.arange(len(seeds), dtype=np.int64)
     cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
     for _ in range(iters):
         assign = _topn_cid_udf(cmat, cids, 1)
-        a = e.select(
+        a = train.select(
             F.element_at(assign(F.col("embedding")), 1).alias("cid"), "embedding"
         )
         # ONE job per iteration: per-(cid, dim) integer sums carry the member
-        # count for free (each (cid, d) group has exactly the cid's row count)
+        # count for free (each (cid, d) group has exactly the cid's row
+        # count); the second groupBy assembles each centroid's dim-ordered
+        # vector BEFORE anything reaches the driver
         ex = a.select("cid", F.posexplode("embedding").alias("d", "v"))
-        sums = (
-            ex.groupBy("cid", "d")
+        sums = ex.groupBy("cid", "d").agg(
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(IVF_SCALE)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        cent = (
+            sums.groupBy("cid")
             .agg(
-                F.sum(
-                    F.round(F.col("v").cast("double") * F.lit(IVF_SCALE)).cast("long")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("m"),
+                F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"),
+                F.max("m").alias("m"),
             )
+            .select(
+                "cid",
+                F.transform(
+                    "ds", lambda st: st["s"] / (F.col("m") * F.lit(IVF_SCALE))
+                ).alias("ce"),
+            )
+            .orderBy("cid")
             .collect()
         )
-        by_cid: dict[int, dict[int, int]] = {}
-        cnts: dict[int, int] = {}
-        for r in sums:
-            by_cid.setdefault(r.cid, {})[r.d] = r.s
-            cnts[r.cid] = r.m
-        dim = cmat.shape[1]
-        new_cids = np.array(sorted(by_cid), dtype=np.int64)
+        cids = np.array([r.cid for r in cent], dtype=np.int64)
         cmat = np.stack(
-            [
-                np.array(
-                    [by_cid[c][d] / (cnts[c] * IVF_SCALE) for d in range(dim)],
-                    dtype=np.float64,
-                )
-                for c in new_cids
-            ]
-        )
-        cids = new_cids  # empty clusters drop out (both engines identically)
+            [np.asarray(r.ce, dtype=np.float64) for r in cent]
+        )  # empty clusters drop out (both engines identically)
     return cmat, cids
+
+
+# In-process memo of loaded indexes: (index key) → (cmat, cids). The
+# durable artifact is the SnapshotStore parquet; this just skips re-reading
+# it within one session (e.g. bench warm passes, repeated driver queries).
+_IVF_MEMO: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _default_index_root() -> str:
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "spark-warehouse",
+            "rps_index",
+        ),
+    )
+
+
+def ivf_index(
+    spark: SparkSession, sf_dir: str, iters: int = IVF_ITERS,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Build-once / probe-many IVF centroid index → (cmat, cids,
+    n_centroids, nprobe).
+
+    The trained centroids are committed to a SnapshotStore table keyed by
+    (corpus basename, row count, params) — the first call trains
+    (kmeans_centroids, bounded-sample) and commits; every later call, in
+    any process, reads the k×dim parquet back instead of re-running the
+    two full Lloyd passes. This is the amortization a real IVF deployment
+    has: training is an index-BUILD cost, not a per-query cost. Parquet
+    doubles round-trip bit-exactly, so a loaded index scores identically
+    to a freshly trained one (the DuckDB twin replays training inline and
+    still matches)."""
+    import os
+
+    from raster_processor_spark.operators.knn import parquet_row_count
+    from raster_processor_spark.sources.snapshots import SnapshotStore
+
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    n_centroids, nprobe = ivf_params(n)
+    key = (
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_n{n}_k{n_centroids}_i{iters}_c{IVF_SAMPLE_CAP}"
+    )
+    if key not in _IVF_MEMO:
+        store = SnapshotStore(_default_index_root())
+
+        def compute() -> DataFrame:
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            cmat, cids = kmeans_centroids(e, n_centroids, iters)
+            return spark.createDataFrame(
+                [
+                    (int(c), [float(x) for x in row])
+                    for c, row in zip(cids, cmat)
+                ],
+                "cid BIGINT, ce ARRAY<DOUBLE>",
+            )
+
+        cdf = store.resume_or_compute(
+            spark, key, compute,
+            metrics={"n": n, "n_centroids": n_centroids, "iters": iters},
+        )
+        rows = cdf.orderBy("cid").collect()
+        _IVF_MEMO[key] = (
+            np.stack([np.asarray(r.ce, dtype=np.float64) for r in rows]),
+            np.array([r.cid for r in rows], dtype=np.int64),
+        )
+    cmat, cids = _IVF_MEMO[key]
+    return cmat, cids, n_centroids, nprobe
+
+
+def ivf_postings(
+    spark: SparkSession, sf_dir: str, spill: int = IVF_SPILL,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """The IVF postings list — every corpus vector indexed under its top
+    ``spill`` clusters — committed once per (corpus, params) to the
+    SnapshotStore and re-read by every query thereafter. This is the other
+    half of the build-once index: at corpus scale the postings table IS the
+    ANN index (spill×n rows, hive-partitionable by cluster), and queries
+    must only probe it, never re-derive it. Parquet round-trips the float
+    embeddings bit-exactly, so probing the stored postings scores
+    identically to a freshly assigned corpus."""
+    import os
+
+    from raster_processor_spark.operators.knn import parquet_row_count
+    from raster_processor_spark.sources.snapshots import SnapshotStore
+
+    cmat, cids, n_centroids, _ = ivf_index(spark, sf_dir, iters)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    key = (
+        f"ivfpost_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_n{n}_k{n_centroids}_i{iters}_s{spill}_c{IVF_SAMPLE_CAP}"
+    )
+    store = SnapshotStore(_default_index_root())
+
+    def compute() -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.explode(
+                _topn_cid_udf(cmat, cids, spill)(F.col("embedding"))
+            ).alias("cluster"),
+        )
+
+    return store.resume_or_compute(
+        spark, key, compute,
+        lineage_cols={"cell": "cluster"},
+        metrics={"n": n, "spill": spill},
+    )
 
 
 def ann_ivf_topk(
@@ -467,26 +598,16 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF ANN, production-shaped: corpus-size-scaled centroid count
     (ivf_params: 4*sqrt(n) centroids, nprobe = centroids/4), k-means-trained
-    centroids (kmeans_centroids — distributed iterations, deterministic
-    seed), and spilled corpus assignment (each vector indexed under its top
-    ``spill`` clusters) so the fixed 25% probe fraction reaches recall >=
-    0.9 even on a structureless corpus. Deterministic end-to-end — the SQL
-    twin replays seeding, Lloyd iterations, spill, probes, and scoring
-    bit-exactly. Queries stay a distributed DataFrame throughout."""
+    centroids loaded from the build-once snapshot index (ivf_index — no
+    training pass inside the query after the first build), and spilled
+    corpus assignment (each vector indexed under its top ``spill`` clusters)
+    so the fixed 25% probe fraction reaches recall >= 0.9 even on a
+    structureless corpus. Deterministic end-to-end — the SQL twin replays
+    seeding, Lloyd iterations, spill, probes, and scoring bit-exactly.
+    Queries stay a distributed DataFrame throughout."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from raster_processor_spark.operators.knn import parquet_row_count
-
-    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
-    n_centroids, nprobe = ivf_params(n)
-    cmat, cids = kmeans_centroids(e, n_centroids)
-
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ne"),
-        F.explode(
-            _topn_cid_udf(cmat, cids, spill)(F.col("embedding"))
-        ).alias("cluster"),
-    )
+    cmat, cids, n_centroids, nprobe = ivf_index(spark, sf_dir)
+    corpus = ivf_postings(spark, sf_dir, spill)
     qs = e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
