@@ -195,13 +195,17 @@ def taylor_step(df: DataFrame) -> DataFrame:
     """(key, lat, lon, height, h_new, sx, sy, sz) → corrected point rows.
 
     Arrow-batched numpy kernel (geoloc_raster.py:167-188 runs the same math
-    through chunked process pools; mapInPandas is the Spark analogue). A
+    through chunked process pools; mapInArrow is the Spark analogue). A
     pure-Column version exists but Catalyst's CollapseProject duplicates the
     Vermeille intermediates combinatorially (~100 s of codegen at 60 k rows)
     — and numpy shares glibc libm with DuckDB, giving bit-identical trig,
-    which the JVM does not."""
+    which the JVM does not. mapInArrow (not mapInPandas): the session's
+    Arrow batches are small (sized for 4KB image payload rows), so a
+    600k-point stage sees ~600 batches — skipping the per-batch
+    Arrow→pandas→Arrow conversions is a measured ~2x on this stage, and the
+    numpy math is identical (zero-copy column views both ways)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from raster_processor_spark.functions import geodesy as geod
 
@@ -211,11 +215,12 @@ def taylor_step(df: DataFrame) -> DataFrame:
     )
 
     def run(it):
-        for pdf in it:
-            lat = pdf["lat"].to_numpy(dtype=np.float64)
-            lon = pdf["lon"].to_numpy(dtype=np.float64)
-            h = pdf["height"].to_numpy(dtype=np.float64)
-            hn = pdf["h_new"].to_numpy(dtype=np.float64)
+        for batch in it:
+            col = {n: batch.column(n).to_numpy(zero_copy_only=False) for n in batch.schema.names}
+            lat = col["lat"]
+            lon = col["lon"]
+            h = col["height"]
+            hn = col["h_new"]
             px, py, pz = geod.llh2xyz_np(lat, lon, h)
             rl = np.deg2rad(lat)
             ro = np.deg2rad(lon)
@@ -226,22 +231,108 @@ def taylor_step(df: DataFrame) -> DataFrame:
             qx, qy, qz = px + dh * nx, py + dh * ny, pz + dh * nz
             lat2, lon2, h2 = geod.xyz2llh_np(qx, qy, qz)
             rng = np.sqrt(
-                (qx - pdf["sx"].to_numpy()) ** 2
-                + (qy - pdf["sy"].to_numpy()) ** 2
-                + (qz - pdf["sz"].to_numpy()) ** 2
+                (qx - col["sx"]) ** 2
+                + (qy - col["sy"]) ** 2
+                + (qz - col["sz"]) ** 2
             )
-            yield pd.DataFrame(
-                {
-                    "key": pdf["key"].to_numpy(dtype=np.int64),
-                    "lat_corr": np.round(lat2, 6),
-                    "lon_corr": np.round(lon2, 6),
-                    "h_corr": np.round(h2, 3),
-                    "slant_range_m": np.round(rng, 3),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col["key"], type=pa.int64()),
+                    pa.array(np.round(lat2, 6)),
+                    pa.array(np.round(lon2, 6)),
+                    pa.array(np.round(h2, 3)),
+                    pa.array(np.round(rng, 3)),
+                ],
+                ["key", "lat_corr", "lon_corr", "h_corr", "slant_range_m"],
             )
 
     cols = ["key", "lat", "lon", "height", "h_new", "sx", "sy", "sz"]
-    return df.select(*cols).mapInPandas(run, schema)
+    return df.select(*cols).mapInArrow(run, schema)
+
+
+def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
+    """Fused nearest-sensor gather + Taylor step in ONE Arrow pass with the
+    sensor track as a broadcast variable.
+
+    The reference holds the entire TVP (sensor ephemeris) in memory per
+    granule (geoloc_raster.py:90-118 passes full sensor arrays to every
+    chunk) — a sensor track is O(orbit records), never corpus-sized, so the
+    Spark-first form is a broadcast of four numpy arrays (t, x, y, z sorted
+    by t) and an np.searchsorted per Arrow batch. This removes the
+    union-window gather's two 700k-row sorts entirely: the whole regeoloc
+    tail is one Python stage with zero shuffles. The bucketed union-window
+    form (nearest_sensor_gather) remains the general path for a sensor side
+    too large to broadcast.
+
+    Nearest rule replicated exactly: prev = last sensor with t <= tus, next
+    = first sensor with t > tus (side='right'), take prev iff next is
+    missing or (tus - prev.t) <= (next.t - tus) — integer microseconds, so
+    the tie comparison is exact and identical to the window/SQL forms
+    (sensor times are unique; see events fixture)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raster_processor_spark.functions import geodesy as geod
+
+    spark = df.sparkSession
+    srows = sens.orderBy("stus").collect()
+    st = np.array([r.stus for r in srows], dtype=np.int64)
+    sxa = np.array([r.sx for r in srows], dtype=np.float64)
+    sya = np.array([r.sy for r in srows], dtype=np.float64)
+    sza = np.array([r.sz for r in srows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((st, sxa, sya, sza))
+
+    schema = (
+        "key BIGINT, lat_corr DOUBLE, lon_corr DOUBLE, h_corr DOUBLE, "
+        "slant_range_m DOUBLE"
+    )
+
+    def run(it):
+        stt, bx, by, bz = bc.value
+        n = len(stt)
+        for batch in it:
+            col = {
+                nme: batch.column(nme).to_numpy(zero_copy_only=False)
+                for nme in batch.schema.names
+            }
+            tus = col["tus"].astype(np.int64)
+            idx = np.searchsorted(stt, tus, side="right")
+            has_prev = idx > 0
+            has_next = idx < n
+            pi = np.clip(idx - 1, 0, n - 1)
+            ni = np.clip(idx, 0, n - 1)
+            take_prev = ~has_next | (
+                has_prev & ((tus - stt[pi]) <= (stt[ni] - tus))
+            )
+            si = np.where(take_prev, pi, ni)
+            sx, sy, sz = bx[si], by[si], bz[si]
+            lat = col["lat"]
+            lon = col["lon"]
+            h = col["height"]
+            hn = col["h_new"]
+            px, py, pz = geod.llh2xyz_np(lat, lon, h)
+            rl = np.deg2rad(lat)
+            ro = np.deg2rad(lon)
+            nx = np.cos(rl) * np.cos(ro)
+            ny = np.cos(rl) * np.sin(ro)
+            nz = np.sin(rl)
+            dh = hn - h
+            qx, qy, qz = px + dh * nx, py + dh * ny, pz + dh * nz
+            lat2, lon2, h2 = geod.xyz2llh_np(qx, qy, qz)
+            rng = np.sqrt((qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col["key"], type=pa.int64()),
+                    pa.array(np.round(lat2, 6)),
+                    pa.array(np.round(lon2, 6)),
+                    pa.array(np.round(h2, 3)),
+                    pa.array(np.round(rng, 3)),
+                ],
+                ["key", "lat_corr", "lon_corr", "h_corr", "slant_range_m"],
+            )
+
+    cols = ["key", "lat", "lon", "height", "h_new", "tus"]
+    return df.select(*cols).mapInArrow(run, schema)
 
 
 def regeoloc_pipeline(spark: SparkSession, sf_dir: str, store) -> DataFrame:

@@ -1588,21 +1588,26 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark.functions import geodesy as geod
     from raster_processor_spark.plans import regeoloc as rg
 
-    # JVM-side cell id (same arithmetic as CELL7_SQL): the point table feeds
-    # two consumers (cell agg + gather), so the Arrow-UDF assignment would
-    # run twice; the codegen'd form costs nothing either way
+    # JVM-side cell id (same arithmetic as CELL7_SQL). The J4 height
+    # feedback is ONE window aggregate over cell_id rather than a
+    # groupBy + broadcast-join-back: the point table is scanned once and
+    # shuffled once (cell_id is a high-cardinality key, so the window
+    # partitions are raster cells — never a constant-cardinality sort), and
+    # the integerized sums make the unordered window bit-equal to the
+    # oracle's GROUP BY + join formulation.
     pts = pixc_points(spark, sf_dir).withColumn(
         "cell_id", quad_cell_col(F.col("lat"), F.col("lon"), 7)
     ).select("key", "lat", "lon", "height", "height_w", "cell_id")
     w = F.col("height_w")
-    cells = pts.groupBy("cell_id").agg(
-        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)
-        .alias("h_new")
-    )
+    w_cell = Window.partitionBy("cell_id")
     sens = rg._sensors(spark, sf_dir)
     bounds = sens.agg(F.min("stus").alias("t0"), F.max("stus").alias("t1"))
     ptsb = (
-        pts.join(F.broadcast(cells), "cell_id")
+        pts.withColumn(
+            "h_new",
+            F.sum(F.round(F.col("height") * 100000.0) * w).over(w_cell)
+            / F.sum(w).over(w_cell) / 100000.0,
+        )
         .crossJoin(F.broadcast(bounds))
         .withColumn(
             "tus",
@@ -1611,8 +1616,13 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("key", "lat", "lon", "height", "h_new", "tus")
     )
-    g = rg.nearest_sensor_gather(ptsb, sens)
-    return rg.taylor_step(g)
+    # fused broadcast gather + Taylor step: the sensor track is O(orbit
+    # records) and broadcast (as the reference holds the full TVP per
+    # granule), so the regeoloc tail is ONE Arrow stage with no shuffle —
+    # the bucketed union-window gather stays available for sensor sides too
+    # large to broadcast (plans/regeoloc.nearest_sensor_gather, exercised by
+    # regeoloc_pipeline)
+    return rg.gather_taylor_broadcast(ptsb, sens)
 
 
 # ====================================================================== W3 ===
