@@ -211,8 +211,19 @@ def distributed_rank_cut(
 
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, group_col, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
+    # persist() the range-partitioned corpus: three consumers (ranked rows,
+    # per-pid counts, per-group totals) hang off it, and spark_partition_id
+    # is nondeterministic to Catalyst, which BLOCKS exchange reuse — without
+    # the persist the corpus is scanned and range-exchanged three times
+    # (verified in the physical plan; the plan test pins one parquet scan).
+    # The cache entry is session-scoped: callers running many queries clear
+    # it with spark.catalog.clearCache() (bench does per query); at cluster
+    # scale this is where a checkpoint of the ranked corpus belongs anyway,
+    # since the final filter re-reads it too.
+    ranged = (
+        df.repartitionByRange(p, group_col, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     w_local = Window.partitionBy("pid", group_col).orderBy(
         *[F.col(c).asc() for c in order_cols]

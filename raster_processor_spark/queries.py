@@ -786,6 +786,62 @@ def mode_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================= A12 + debug ===
+# RasterUTMDebug / RasterGeoDebug (products.py:1496-1537): the debug product
+# classes are the standard raster product PLUS one per-cell `classification`
+# variable (u1, aggregate_classification = mode of the pixel classes,
+# raster_agg.py:516-520). Engine mapping (SURVEY §1.1): an extra column
+# behind a flag on the rollup output.
+
+
+def raster_product(spark: SparkSession, sf_dir: str, debug: bool = False) -> DataFrame:
+    """Per-cell raster product slice (n_pix + inv-var weighted height);
+    ``debug=True`` appends the per-cell ``classification`` column exactly
+    as RasterUTMDebug extends RasterUTM — same product, one extra
+    debug-only variable. The mode derivation groups by (cell, class) before
+    its window, so the debug column adds one small aggregate join, never a
+    second scan of the point table at a different grain."""
+    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    w = F.col("height_w")
+    base = pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)
+        .alias("height_wm"),
+    )
+    if not debug:
+        return base
+    cls = agg.mode_agg(
+        pts.select("cell_id", "classification"),
+        ["cell_id"], "classification", "classification",
+    )
+    return base.join(cls, "cell_id", "left")
+
+
+@q(
+    "debug_classification",
+    f"""
+WITH pts AS (SELECT {CELL7_SQL} AS cell_id, height, height_w, classification
+             FROM ({PIXC_PTS_SQL})),
+base AS (
+  SELECT cell_id, COUNT(*) AS n_pix,
+         SUM(ROUND(height * 100000.0) * height_w) / SUM(height_w) / 100000.0
+           AS height_wm
+  FROM pts GROUP BY 1
+),
+cls AS ({{mode_sql}})
+SELECT base.cell_id AS cell_id, base.n_pix, base.height_wm, cls.classification
+FROM base LEFT JOIN cls ON base.cell_id = cls.cell_id
+""".format(
+        mode_sql=agg.mode_agg_sql(
+            f"SELECT {CELL7_SQL} AS cell_id, classification FROM ({PIXC_PTS_SQL})",
+            ["cell_id"], "classification", "classification",
+        )
+    ),
+)
+def debug_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return raster_product(spark, sf_dir, debug=True)
+
+
 # ====================================================================== J8 ===
 # truth↔proc raster comparison: full-outer join on cell_id with null masks
 

@@ -155,6 +155,37 @@ def test_knn_is_stateless_no_cache_survives_the_query(spark):
     assert cm.isEmpty(), "knn_join left entries in the CacheManager"
 
 
+def test_raster_product_debug_flag_gates_classification_column(spark):
+    # RasterUTMDebug mapping: same product, one extra flag-gated column
+    from raster_processor_spark.queries import raster_product
+
+    base = raster_product(spark, SF_ORACLE, debug=False)
+    dbg = raster_product(spark, SF_ORACLE, debug=True)
+    assert "classification" not in base.columns
+    assert dbg.columns == [*base.columns, "classification"]
+
+
+def test_rank_cut_scans_the_corpus_once(spark):
+    # distributed_rank_cut has three consumers of the range-partitioned
+    # corpus (ranked rows, per-pid counts, totals); spark_partition_id is
+    # nondeterministic to Catalyst so exchange reuse can never dedupe them —
+    # the persist() must, or the corpus is scanned and range-exchanged 3x.
+    spark.catalog.clearCache()
+    plan = (
+        REGISTRY["quality_filter"].spark(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all three consumers must read the single cached range-partitioned
+    # corpus (the plan string reprints the cached subtree per consumer, so
+    # count InMemoryTableScans, not raw FileScans)
+    n_mem = plan.count("InMemoryTableScan")
+    n_scan = plan.count("documents.parquet")
+    assert n_mem == 3 and n_scan <= n_mem, (
+        f"rank-cut persist lost: {n_mem} cache reads, {n_scan} scans"
+    )
+    spark.catalog.clearCache()
+
+
 def test_quality_filter_has_no_constant_cardinality_rank_window(spark):
     # the cut must never rank inside a window partitioned ONLY by language
     # (constant-cardinality key -> one task sorts ~n/|langs| rows at scale).
