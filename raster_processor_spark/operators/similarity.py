@@ -412,6 +412,174 @@ def ann_ivf_topk_sql(
     )
 
 
+# ------------------------------------------------- SRP (hyperplane) LSH -----
+# Signed-random-projection LSH — the second ANN family next to IVF: hash
+# each vector to sign bits against fixed hyperplanes, band the bits, and
+# let candidates be pairs sharing a band bucket (P[bit match] = 1 - θ/π, so
+# close vectors collide in some band with high probability). Candidate
+# generation is a pure equi-join on (band, bucket) — the same
+# shuffle-bounded shape as the text LSH paths, with no centroid training
+# at all (the index is stateless: a projection per row).
+#
+# Exactness: hyperplane weights are fixed INTEGER constants (baked into
+# both engines as literals) and vectors are integerized as
+# ROUND(v * 2^20), so every dot product is an exact integer (|dot| <
+# 2^37 << 2^53 — exact in double too) and the sign bits, buckets, and
+# candidate sets are bit-identical across Spark, numpy, and DuckDB.
+SRP_PLANES = 64
+SRP_BAND_BITS = 8
+SRP_BANDS = SRP_PLANES // SRP_BAND_BITS
+
+
+def _srp_weights() -> list[list[int]]:
+    """Deterministic hyperplane weights in [-500, 500] from the engine's
+    LCG mix (operators/sampling.py) — plain Python constants, embedded as
+    literals in both the Spark plan and the SQL twin (nothing to replay)."""
+    P = 2147483647
+    rounds = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
+
+    def mix(k: int) -> int:
+        k %= P
+        for a, b in rounds:
+            k = (k * a + b) % P
+        return k
+
+    return [
+        [mix(p * DIM + d + 1) % 1001 - 500 for d in range(DIM)]
+        for p in range(SRP_PLANES)
+    ]
+
+
+def _srp_buckets_udf():
+    """pandas UDF: embedding → array<int> of the SRP_BANDS band buckets."""
+    W = np.array(_srp_weights(), dtype=np.int64)  # (planes, DIM)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            m = np.stack(emb.to_numpy()).astype(np.float64) * IVF_SCALE
+            # ROUND half-away-from-zero (matches DuckDB ROUND; np.rint
+            # would round half-to-even and flip ties)
+            eint = np.trunc(m + np.copysign(0.5, m)).astype(np.int64)
+            dots = eint @ W.T  # exact: |dot| < 2^37
+            bits = (dots >= 0).astype(np.int64)
+            bucket = np.zeros((len(eint), SRP_BANDS), dtype=np.int64)
+            for p in range(SRP_PLANES):
+                b, j = p // SRP_BAND_BITS, p % SRP_BAND_BITS
+                bucket[:, b] += bits[:, p] << j
+            yield pd.Series([row.astype(np.int32) for row in bucket])
+
+    return _buckets
+
+
+def ann_srp_topk(
+    spark: SparkSession, sf_dir: str, k: int, query_mod: int
+) -> DataFrame:
+    """Hyperplane-LSH ANN top-k: band-bucket candidates → exact cosine rank.
+
+    Shuffle volume is SRP_BANDS rows per vector for the bucket join plus
+    the (deduped, scalar) scored candidates — never all pairs, never a
+    training pass. Duplicated (query, neighbor) collisions across bands
+    carry identical cosines and are deduped AFTER scoring on scalar rows
+    (ids + cosine), so 64-dim arrays never shuffle through a distinct."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srp = _srp_buckets_udf()
+    bk = e.select(
+        "vec_id", "embedding",
+        F.posexplode(srp(F.col("embedding"))).alias("band", "bucket"),
+    )
+    qs = bk.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "band", "bucket",
+    )
+    ns = bk.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        "band", "bucket",
+    )
+    cand = qs.join(ns, ["band", "bucket"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_col(F.col("qe"), F.col("ne"))
+    ).select("query_id", "neighbor_id", "cosine").distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_srp_topk_sql(k: int, query_mod: int) -> str:
+    """DuckDB twin: replays the integer hyperplane dots, sign bits, band
+    buckets, candidate join, and fold-exact cosine rank bit-for-bit."""
+    W = _srp_weights()
+
+    def dot_plane(p: int) -> str:
+        # list_dot_product, not a per-element fold: the fold indexes the
+        # weight-list literal per element (DuckDB rebuilds it each time —
+        # measured 17 s for 500 rows x 64 planes); the native product is
+        # instant. Exactness unaffected: products and sums of integers
+        # < 2^37 are exact in double in ANY order.
+        lit = "[" + ", ".join(f"{w}.0" for w in W[p]) + "]"
+        return f"list_dot_product(eint, {lit})"
+
+    bucket_cols = []
+    for b in range(SRP_BANDS):
+        terms = [
+            f"(CASE WHEN {dot_plane(b * SRP_BAND_BITS + j)} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(SRP_BAND_BITS)
+        ]
+        bucket_cols.append("(" + " + ".join(terms) + f") AS bucket{b}")
+
+    def dot(a: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> ({a})[i] * ({c})[i]), (x, y) -> x + y)"
+        )
+
+    cos = f"{dot('q.e', 'n.e')} / (sqrt({dot('q.e', 'q.e')}) * sqrt({dot('n.e', 'n.e')}))"
+    case_bucket = " ".join(
+        f"WHEN {b} THEN bucket{b}" for b in range(SRP_BANDS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * {IVF_SCALE})) AS eint
+  FROM embeddings
+),
+bucketed AS (SELECT vec_id, e, {", ".join(bucket_cols)} FROM ev),
+bands AS (
+  SELECT vec_id, e, b.band AS band,
+         (CASE b.band {case_bucket} END) AS bucket
+  FROM bucketed CROSS JOIN (
+    SELECT UNNEST(generate_series(0, {SRP_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {cos} AS cosine
+  FROM bands q JOIN bands n
+    ON q.band = n.band AND q.bucket = n.bucket
+   AND q.vec_id <> n.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def kmeans_centroids(
     e: DataFrame, n_centroids: int, iters: int = IVF_ITERS,
     sample_cap: int = IVF_SAMPLE_CAP,

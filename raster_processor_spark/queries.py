@@ -894,6 +894,80 @@ def raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================ J8 bucketed ====
+# The same truth↔proc compare, but the two per-cell aggregate tables are
+# committed ONCE as bucketed+sorted parquet and the full-outer join runs
+# with ZERO Exchange nodes (plan-test-pinned) — the storage-layout half of
+# the 100 TB join story: bucket both sides by cell at write time, and every
+# downstream cell-keyed join skips its shuffle forever after. Oracle: the
+# raster_compare SQL verbatim (identical output — parquet round-trips the
+# aggregate doubles bit-exactly).
+
+N_CMP_BUCKETS = 16
+
+
+def _bucketed_compare_sides(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os as _os
+    import re as _re
+
+    from raster_processor_spark.sources.snapshots import bucketed_table
+
+    base = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(_os.path.normpath(sf_dir)))
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "spark-warehouse", "rps_bucketed", base,
+    )
+
+    def side(parity: int):
+        def build():
+            pts = with_cell(pixc_points(spark, sf_dir), 7)
+            h_int = F.round(F.col("height") * 100000.0)
+            return (
+                pts.where(F.pmod(F.col("key"), F.lit(2)) == parity)
+                .groupBy("cell_id")
+                .agg((F.sum(h_int) / F.count(F.lit(1))).alias("h"))
+            )
+
+        return bucketed_table(
+            spark, f"rps_cmp_{base}_{parity}",
+            _os.path.join(root, f"side_{parity}"),
+            build, "cell_id", N_CMP_BUCKETS,
+        )
+
+    return side(0), side(1)
+
+
+@q(
+    "bucketed_raster_compare",
+    f"""
+WITH pts AS ({PIXC_PTS_SQL}),
+a AS (SELECT {CELL7_SQL} AS cell_id, SUM({_H_INT_SQL}) / COUNT(*) AS h
+      FROM pts WHERE key % 2 = 0 GROUP BY 1),
+b AS (SELECT {CELL7_SQL} AS cell_id, SUM({_H_INT_SQL}) / COUNT(*) AS h
+      FROM pts WHERE key % 2 = 1 GROUP BY 1)
+SELECT COALESCE(a.cell_id, b.cell_id) AS cell_id,
+       (a.h - b.h) / 100000.0 AS h_err,
+       (a.h IS NOT NULL AND b.h IS NOT NULL) AS common,
+       (a.h IS NOT NULL AND b.h IS NULL) AS only_a,
+       (a.h IS NULL AND b.h IS NOT NULL) AS only_b
+FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id
+""",
+)
+def bucketed_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ta, tb = _bucketed_compare_sides(spark, sf_dir)
+    a = spark.table(ta).alias("a")
+    b = spark.table(tb).alias("b")
+    joined = a.join(b, F.col("a.cell_id") == F.col("b.cell_id"), "full_outer")
+    ah, bh = F.col("a.h"), F.col("b.h")
+    return joined.select(
+        F.coalesce(F.col("a.cell_id"), F.col("b.cell_id")).alias("cell_id"),
+        ((ah - bh) / 100000.0).alias("h_err"),
+        (ah.isNotNull() & bh.isNotNull()).alias("common"),
+        (ah.isNotNull() & bh.isNull()).alias("only_a"),
+        (ah.isNull() & bh.isNotNull()).alias("only_b"),
+    )
+
+
 # ====================================================================== W1 ===
 
 @q(

@@ -66,6 +66,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)
 
 
+# the second ANN family: hyperplane (signed-random-projection) LSH —
+# stateless index (no training), candidates from a (band, bucket)
+# equi-join; fully deterministic (integer hyperplane dots), so the oracle
+# replays projections, banding, candidates, and scoring bit-exactly
+@q("ann_srp_topk", sim.ann_srp_topk_sql(ANN_K, ANN_QUERY_MOD))
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_srp_topk(spark, sf_dir, ANN_K, ANN_QUERY_MOD)
+
+
 @q("text_stats", tx.text_stats_sql())
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(spark, sf_dir)

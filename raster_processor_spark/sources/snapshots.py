@@ -206,6 +206,53 @@ class SnapshotStore:
 # every downstream join is exchange-free).
 
 
+def bucketed_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    build,
+    bucket_col: str,
+    n_buckets: int,
+) -> str:
+    """Build-once / join-many bucketed table: materialize ``build()`` as a
+    bucketed+sorted parquet table at ``path`` the first time, and on every
+    later session just re-register the existing files with the bucket spec
+    (CREATE TABLE ... CLUSTERED BY ... LOCATION — the in-memory catalog
+    forgets between sessions, the data layout does not). Joins between two
+    tables bucketed on the same key run with ZERO Exchange nodes — the
+    write-time layout replaces the run-time shuffle, which is the 100 TB
+    strategy for any join keyed on the tiling (bucket both sides by cell
+    once, join exchange-free forever after)."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    if spark.catalog.tableExists(safe):
+        return safe
+    if os.path.isdir(path) and any(
+        f.startswith("part-") for f in os.listdir(path)
+    ):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {safe} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        (
+            build()
+            .write.format("parquet")
+            .option("path", path)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .mode("overwrite")
+            .saveAsTable(safe)
+        )
+    return safe
+
+
 def write_bucketed(
     df, table: str, bucket_col: str, n_buckets: int, root: str
 ) -> str:

@@ -155,6 +155,16 @@ def test_knn_is_stateless_no_cache_survives_the_query(spark):
     assert cm.isEmpty(), "knn_join left entries in the CacheManager"
 
 
+def test_bucketed_compare_join_is_exchange_free(spark):
+    # both sides are bucketed+sorted on cell_id at write time, so the
+    # full-outer SMJ must run with ZERO Exchange nodes — the write-time
+    # layout replaces the run-time shuffle (the 100 TB co-located join)
+    df = REGISTRY["bucketed_raster_compare"].spark(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
+
+
 def test_raster_product_debug_flag_gates_classification_column(spark):
     # RasterUTMDebug mapping: same product, one extra flag-gated column
     from raster_processor_spark.queries import raster_product

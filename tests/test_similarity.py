@@ -38,6 +38,25 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_srp_deterministic_and_exact_on_candidates(spark):
+    # SRP is a stateless index: two runs must agree exactly, and every
+    # emitted cosine must equal the exact fold cosine of that pair (the
+    # candidate set restricts, never distorts, scoring)
+    a = sorted(map(tuple, sim.ann_srp_topk(spark, SF_ORACLE, 5, 25).collect()))
+    b = sorted(map(tuple, sim.ann_srp_topk(spark, SF_ORACLE, 5, 25).collect()))
+    assert a == b and len(a) > 0
+    brute = sim.ann_brute_topk(spark, SF_ORACLE, 500, 25)
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in brute.collect()}
+    for qid, nid, cos, _rank in a:
+        assert exact[(qid, nid)] == cos
+
+
+def test_srp_plan_is_bucket_join_no_cartesian(spark):
+    plan = sim.ann_srp_topk(spark, SF_ORACLE, 10, 25)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_near_dup_plan_has_no_cross_join(spark):
     plan = sim.embedding_near_dup_pairs(spark, SF_ORACLE, 0.45)._jdf.queryExecution(
     ).executedPlan().toString()
