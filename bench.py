@@ -56,6 +56,10 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "image_curation",
+    # round-4 additions
+    "debug_classification",
+    "ann_srp_topk",
+    "bucketed_raster_compare",
 ]
 
 

