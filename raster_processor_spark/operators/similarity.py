@@ -601,10 +601,17 @@ def kmeans_centroids(
     row per centroid — never per-(cid,dim) rows, never corpus rows."""
     from raster_processor_spark.operators.sampling import _mix_col
 
+    from raster_processor_spark.checkpoints import free_local_checkpoint
+
     hashed = e.select(
         _mix_col(F.col("vec_id")).alias("h"), "vec_id", "embedding"
     )
-    train = hashed.orderBy("h", "vec_id").limit(sample_cap)
+    # ONE distributed top-k over the corpus, checkpointed: every Lloyd
+    # iteration re-reads the materialized sample (≤ cap rows) instead of
+    # re-running the top-k; blocks freed before returning
+    train = hashed.orderBy("h", "vec_id").limit(sample_cap).localCheckpoint(
+        eager=True
+    )
     seeds = train.limit(n_centroids).collect()
     cids = np.arange(len(seeds), dtype=np.int64)
     cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
@@ -643,6 +650,7 @@ def kmeans_centroids(
         cmat = np.stack(
             [np.asarray(r.ce, dtype=np.float64) for r in cent]
         )  # empty clusters drop out (both engines identically)
+    free_local_checkpoint(train)
     return cmat, cids
 
 
