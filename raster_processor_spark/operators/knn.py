@@ -203,6 +203,146 @@ def knn_join(
     )
 
 
+def knn_hex_join(
+    points: DataFrame,
+    k: int,
+    res: int | None = None,
+    rings: tuple[int, ...] = (3, 12),
+    n_hint: int | None = None,
+) -> DataFrame:
+    """kNN via H3-style hex k-ring expansion (the north star's literal
+    phrasing) — same contract and EXACT same output as knn_join, different
+    index geometry: points land in pointy-top axial hex cells
+    (cellindex.hex_axial cube rounding, Arrow UDF), each phase explodes the
+    unresolved queries by hex disk(R) offsets and equi-joins candidates on
+    the (q, r) axial key.
+
+    Resolution guarantee: hex centers at graph distance d are >=
+    1.5*size*d apart (|c|^2 = 3*size^2*(q^2+qr+r^2) and q^2+qr+r^2 >=
+    (3/4)*d^2 — tight at knight-move cells like (2,-1); enumeration test
+    in tests/). Any point outside disk(R) sits in a cell at distance >=
+    R+1 and each point is within one circumradius of its center, so its
+    separation from the query is >= (1.5*(R+1) - 2)*size; a query resolves
+    iff it has >= k candidates and its kth distance is strictly inside
+    that bound. Unresolved stragglers fall through rings to the broadcast
+    brute tail — exactness never depends on the density heuristic. No
+    longitude wrap (the hex grid is planar, matching the planar metric of
+    the oracle; a wrapped near-dateline neighbor is far in the metric, so
+    omitting wrapped candidates cannot change the answer)."""
+    from raster_processor_spark import cellindex as ci_mod  # noqa: F401
+
+    spark = points.sparkSession
+    pts = points.select("key", "lat", "lon")
+    if res is None:
+        n = n_hint if n_hint is not None else pts.count()
+        # ~0.6 points per hex cell: cells ~ 64800/(2.598 s^2) over the
+        # planar lon/lat rectangle, s = circumradius in degrees
+        s_target = math.sqrt(64800.0 * 0.6 / (2.598 * max(n, 16)))
+        res = max(2, min(12, round(math.log2(180.0 / s_target))))
+    s = 180.0 / (1 << res)  # hex circumradius, degrees
+
+    # axial cube rounding as pure codegen columns (no UDF: the indexed
+    # table feeds every ring phase on both sides, so an Arrow stage here
+    # would run several times per query — measured 3x slower). The rounding
+    # tie-break (JVM HALF_UP vs numpy half-even in cellindex.hex_axial)
+    # is irrelevant to correctness: cube rounding assigns the nearest hex
+    # center under ANY tie-break, which is all the resolve bound needs —
+    # and the bins are derived once and used consistently for queries and
+    # corpus inside this one plan.
+    sqrt3_3 = float(math.sqrt(3.0) / 3.0)
+    qf = (F.lit(sqrt3_3) * F.col("lon") - F.col("lat") / 3.0) / F.lit(s)
+    rf = (F.col("lat") * (2.0 / 3.0)) / F.lit(s)
+    sfv = -qf - rf
+    q0, r0, s0 = F.round(qf), F.round(rf), F.round(sfv)
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sfv)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    qbin = F.when(fix_q, -r0 - s0).otherwise(q0).cast("long")
+    rbin = F.when(fix_r, -q0 - s0).otherwise(r0).cast("long")
+    indexed = pts.withColumn("qbin", qbin).withColumn("rbin", rbin)
+    corpus = indexed.select(
+        F.col("key").alias("nkey"),
+        F.col("lat").alias("nlat"),
+        F.col("lon").alias("nlon"),
+        F.col("qbin").alias("nqb"),
+        F.col("rbin").alias("nrb"),
+    )
+
+    unresolved = indexed
+    accepted: DataFrame | None = None
+    for ring in rings:
+        offs = spark.createDataFrame(
+            [(int(dq), int(dr)) for dq, dr in ci_mod.hex_disk_offsets(ring)],
+            "dq BIGINT, dr BIGINT",
+        )
+        q = unresolved.select(
+            F.col("key").alias("qkey"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+            "qbin", "rbin",
+        )
+        probes = (
+            q.crossJoin(F.broadcast(offs))
+            .select(
+                "qkey", "qlat", "qlon",
+                (F.col("qbin") + F.col("dq")).alias("nqb"),
+                (F.col("rbin") + F.col("dr")).alias("nrb"),
+            )
+        )
+        cand = probes.join(corpus, ["nqb", "nrb"], "inner").where(
+            F.col("qkey") != F.col("nkey")
+        )
+        dx = F.col("nlon") - F.col("qlon")
+        dy2 = F.col("nlat") - F.col("qlat")
+        scored = cand.withColumn("dist2", dx * dx + dy2 * dy2)
+        w_rank = Window.partitionBy("qkey").orderBy(
+            F.col("dist2").asc(), F.col("nkey").asc()
+        )
+        w_all = Window.partitionBy("qkey")
+        lim = (1.5 * (ring + 1) - 2.0) * s
+        limit2 = lim * lim
+        ranked = (
+            scored.withColumn("rank", F.row_number().over(w_rank))
+            .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+            .withColumn(
+                "_kth",
+                F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all),
+            )
+            .withColumn("_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit2))
+        )
+        got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
+            "qkey", "nkey", "dist2", "rank"
+        )
+        accepted = got if accepted is None else accepted.unionByName(got)
+        resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
+        unresolved = unresolved.join(resolved_keys, "key", "left_anti")
+
+    q = unresolved.select(
+        F.col("key").alias("qkey"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    cand = F.broadcast(q).crossJoin(
+        corpus.select("nkey", "nlat", "nlon")
+    ).where(F.col("qkey") != F.col("nkey"))
+    dx = F.col("nlon") - F.col("qlon")
+    dy2 = F.col("nlat") - F.col("qlat")
+    w = Window.partitionBy("qkey").orderBy(F.col("dist2").asc(), F.col("nkey").asc())
+    tail = (
+        cand.withColumn("dist2", dx * dx + dy2 * dy2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qkey", "nkey", "dist2", "rank")
+    )
+    accepted = tail if accepted is None else accepted.unionByName(tail)
+    return accepted.select(
+        F.col("qkey").alias("key"),
+        F.col("nkey").alias("neighbor_key"),
+        "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def knn_sql(points_sql: str, k: int) -> str:
     """DuckDB oracle: exact brute-force kNN with identical distance and ties.
 

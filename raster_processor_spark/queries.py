@@ -361,6 +361,16 @@ def knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_op.knn_join(pts, KNN_K, n_hint=n)
 
 
+# the H3-style twin: identical contract and OUTPUT (same brute-force
+# oracle — exactness is independent of the index geometry), but candidates
+# come from hex k-ring expansion over axial (q, r) cells
+@q("knn_hex", knn_op.knn_sql(DOC_PTS_SQL, KNN_K))
+def knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
+    n = knn_op.parquet_row_count(f"{sf_dir}/documents.parquet")
+    return knn_op.knn_hex_join(pts, KNN_K, n_hint=n)
+
+
 # ====================================================================== A6 ===
 # inverse-variance weighted mean per cell (9-layer fused agg in one pass)
 

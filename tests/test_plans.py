@@ -155,6 +155,28 @@ def test_knn_is_stateless_no_cache_survives_the_query(spark):
     assert cm.isEmpty(), "knn_join left entries in the CacheManager"
 
 
+def test_hex_center_distance_bound_enumeration():
+    # knn_hex's resolve bound rests on: centers at hex graph distance d are
+    # >= 1.5*size*d apart, i.e. q^2 + q*r + r^2 >= (3/4)*d^2 (|c|^2 =
+    # 3*size^2*(q^2+qr+r^2)). Enumerate all cells out to distance 40.
+    for q in range(-40, 41):
+        for r in range(-40, 41):
+            d = (abs(q) + abs(r) + abs(q + r)) // 2
+            if d == 0:
+                continue
+            assert 4 * (q * q + q * r + r * r) >= 3 * d * d, (q, r, d)
+
+
+def test_knn_hex_matches_quad_knn_exactly(spark):
+    # same oracle, same output: the hex-ring index and the quad-ring index
+    # must produce the identical exact kNN result
+    from raster_processor_spark.queries import REGISTRY as R
+
+    a = sorted(map(tuple, R["knn"].spark(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, R["knn_hex"].spark(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_bucketed_compare_join_is_exchange_free(spark):
     # both sides are bucketed+sorted on cell_id at write time, so the
     # full-outer SMJ must run with ZERO Exchange nodes — the write-time
