@@ -556,7 +556,9 @@ from raster_processor_spark.checkpoints import (  # noqa: E402
 )
 
 
-def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 64, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components via star contraction — each round collapses
     every node's full neighborhood onto its minimum (one simultaneous
     large-star + small-star in the sense of Kiveris et al., "Connected
@@ -580,11 +582,32 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFra
     symmetric difference — exact on the distinct edge sets, vs the two
     exceptAll shuffles it replaces), and every intermediate round's
     checkpoint blocks are freed as soon as the next round materializes
-    (only e0 and the final edge set stay alive for the returned plan)."""
-    e0 = (
+    (only e0 and the final edge set stay alive for the returned plan).
+
+    ``checkpoint_dir`` switches every round to a RELIABLE checkpoint
+    (files under the dir — on a cluster, a fault-tolerant store): the call
+    shape is identical, executor loss no longer restarts the whole loop,
+    and block-manager freeing is a no-op (the data lives in files; clean
+    the dir after the result is consumed)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+        def _free(df: DataFrame) -> None:
+            pass  # file-backed; nothing in the block manager to release
+
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+        _free = _free_local_checkpoint
+
+    e0 = _ckpt(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         e0.select(F.col("u").alias("node"))
@@ -604,11 +627,10 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFra
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         anchors = mins.select("u", F.col("m").alias("v"))
-        e2 = (
+        e2 = _ckpt(
             relinked.unionByName(anchors)
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # ONE job: both sides are distinct sets, so a +1/-1 signed union
         # groupBy finds any symmetric-difference row exactly; limit(1)
@@ -623,7 +645,7 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 64) -> DataFra
             .count()
         )
         if prev_ckpt is not None:
-            _free_local_checkpoint(prev_ckpt)
+            _free(prev_ckpt)
         prev_ckpt, e = e2, e2
         if changed == 0:
             break

@@ -105,6 +105,28 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, (name, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
 
 
+def test_star_contraction_reliable_checkpoint_variant(spark):
+    # checkpoint_dir switches every round to file-backed reliable
+    # checkpoints (the cluster call path) — identical labels, files written
+    import glob
+    import os
+    import tempfile
+
+    from raster_processor_spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(1, 64)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    base = {r.doc_id: r.cluster_id for r in connected_components_star(df).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        rel = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(df, checkpoint_dir=d).collect()
+        }
+        files = glob.glob(os.path.join(d, "**", "part-*"), recursive=True)
+        assert files, "no reliable checkpoint files written"
+    assert base == rel
+
+
 def test_incremental_dedup_partitions_the_full_pair_set(spark):
     # full-run pairs = (old-corpus-only pairs) ⊎ (incremental new-batch
     # pairs) — proves the incremental path adds exactly the missing pairs
