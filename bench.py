@@ -60,6 +60,7 @@ HEADLINE = [
     "debug_classification",
     "ann_srp_topk",
     "bucketed_raster_compare",
+    "knn_hex",
 ]
 
 
