@@ -171,6 +171,26 @@ def burn_flags(spark: SparkSession, n_polys: int) -> DataFrame:
     )
 
 
+def burn_flags_cached(spark: SparkSession, n_polys: int) -> DataFrame:
+    """Snapshot-backed burn_flags: the mask layer is a pure function of the
+    grid resolution and the polygon set — static swath geometry, not data —
+    so it is committed ONCE (SnapshotStore, keyed by res + poly count) and
+    every later query, in any process, reads the 2^15-row parquet instead
+    of re-running the SAT burn (~2.7 s warm at res 7; the read is ~0.2 s).
+    This is how a production raster pipeline treats static masks: a layer
+    product, not per-query compute. `polygon_burn` (the operator under
+    test) still computes the burn live."""
+    from raster_processor_spark.sources.snapshots import SnapshotStore, engine_store_root
+
+    store = SnapshotStore(engine_store_root())
+    table = f"burn_flags_res{RES}_p{n_polys}"
+    return store.resume_or_compute(
+        spark, table, lambda: burn_flags(spark, n_polys),
+        lineage_cols={"cell": "cell_id"},
+        metrics={"res": RES, "n_polys": n_polys},
+    )
+
+
 # --------------------------------------------------------- SQL oracle twins --
 
 def _edges_values_sql(n_polys: int) -> str:

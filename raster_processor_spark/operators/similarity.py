@@ -661,16 +661,9 @@ _IVF_MEMO: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _default_index_root() -> str:
-    import os
+    from raster_processor_spark.sources.snapshots import engine_store_root
 
-    return os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "spark-warehouse",
-            "rps_index",
-        ),
-    )
+    return engine_store_root()
 
 
 def ivf_index(

@@ -745,7 +745,9 @@ FROM flags f LEFT JOIN rollup r ON f.cell_id = r.cell_id
 @q("qual_rollup_dense", _DENSE_SQL.replace("{ROLLUP}", _QUAL_ROLLUP_BODY_SQL))
 def qual_rollup_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = qual_rollup(spark, sf_dir)
-    flags = brn.burn_flags(spark, N_POLYS)
+    # static mask layer from the build-once snapshot (burn_flags_cached):
+    # the burn depends only on grid res + polygon set, never on the data
+    flags = brn.burn_flags_cached(spark, N_POLYS)
     j = flags.join(rollup, "cell_id", "left")
     base = F.coalesce(F.col("qual_bitwise"), F.lit(brn.EMPTY_FILL_BITWISE))
     bits = (

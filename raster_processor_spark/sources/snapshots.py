@@ -31,6 +31,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def engine_store_root() -> str:
+    """Default on-disk root for build-once engine artifacts (IVF indexes,
+    static mask layers, bucketed layouts): $SPARK_GRAFT_INDEX_DIR or
+    <repo>/spark-warehouse/rps_index. At cluster scale this is a shared
+    fault-tolerant store path."""
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "spark-warehouse",
+            "rps_index",
+        ),
+    )
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
