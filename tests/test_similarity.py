@@ -32,6 +32,41 @@ def test_ivf_recall_vs_brute_sf01(spark):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_ivf_query_never_trains_once_the_index_exists(spark, monkeypatch):
+    # the round-3 verdict bar: no full-corpus training pass inside the
+    # query. Once the snapshot index exists, the query path must load it —
+    # poison kmeans_centroids and clear the in-process memo to prove the
+    # disk path alone suffices.
+    sorted(map(tuple, sim.ann_ivf_topk(spark, SF_ORACLE, 5, 25).collect()))
+    before = sorted(map(tuple, sim.ann_ivf_topk(spark, SF_ORACLE, 5, 25).collect()))
+
+    def _poisoned(*a, **k):
+        raise AssertionError("k-means training ran inside a query")
+
+    monkeypatch.setattr(sim, "kmeans_centroids", _poisoned)
+    sim._IVF_MEMO.clear()
+    after = sorted(map(tuple, sim.ann_ivf_topk(spark, SF_ORACLE, 5, 25).collect()))
+    assert after == before and len(after) > 0
+
+
+def test_dense_rollup_never_burns_once_the_mask_exists(spark, monkeypatch):
+    from raster_processor_spark.operators import burn as brn
+    from raster_processor_spark.queries import REGISTRY
+
+    before = sorted(
+        map(tuple, REGISTRY["qual_rollup_dense"].spark(spark, SF_ORACLE).collect())
+    )
+
+    def _poisoned(*a, **k):
+        raise AssertionError("SAT burn ran inside a query with the mask committed")
+
+    monkeypatch.setattr(brn, "burn_flags", _poisoned)
+    after = sorted(
+        map(tuple, REGISTRY["qual_rollup_dense"].spark(spark, SF_ORACLE).collect())
+    )
+    assert after == before and len(after) > 0
+
+
 def test_ivf_deterministic(spark):
     a = sorted(map(tuple, sim.ann_ivf_topk(spark, SF_ORACLE, 5, 25).collect()))
     b = sorted(map(tuple, sim.ann_ivf_topk(spark, SF_ORACLE, 5, 25).collect()))
