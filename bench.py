@@ -70,7 +70,18 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset — the "isolated" protocol
     # used to adjudicate session-amplification (BENCH/BASELINE.md §protocol)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
+    if only:
+        requested = [q for q in only.split(",") if q]
+        unknown = sorted(set(requested) - set(HEADLINE))
+        if unknown:
+            # a typo'd name must fail loudly, not silently run nothing and
+            # misreport an "isolated protocol" session
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}"
+            )
+        headline = [q for q in HEADLINE if q in requested]
+    else:
+        headline = HEADLINE
     spark = get_spark(cpus=cpus, app_name="rps_bench")
 
     # warm the JVM + Python worker pool once (not timed)

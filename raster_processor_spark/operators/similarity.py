@@ -253,15 +253,26 @@ IVF_SCALE = 1048576.0  # 2^20: eint = ROUND(v * 2^20) is exact (power of 2)
 # above it, every training structure (assignment passes, per-centroid
 # driver rows) is bounded by the cap instead of growing with the corpus.
 IVF_SAMPLE_CAP = 1 << 16
+# Centroid count is COUPLED to the bounded training sample: kc <= cap/2^5
+# guarantees Lloyd always has >= 32 training rows per centroid, no matter
+# the corpus size. Without this cap, 4*sqrt(n) outruns the 2^16-row sample
+# beyond n ~ 2.7e8 (one centroid per training row -> Lloyd degenerate) and
+# nprobe = kc/4 of the NOMINAL kc silently exceeds the actual centroid
+# count, turning the advertised 25% probe into a full-index scan.
+IVF_KC_CAP = IVF_SAMPLE_CAP >> 5  # 2048
 
 
 def ivf_params(n: int) -> tuple[int, int]:
     """(n_centroids, nprobe) from the corpus size. floor(sqrt(double)) on
     both engines — NOT isqrt — so the Spark side and the SQL twin derive
-    identical values for any n."""
+    identical values for any n. kc is clamped to IVF_KC_CAP so it never
+    outruns the bounded training sample (>= 32 sample rows per centroid at
+    any corpus size); nprobe stays a fixed quarter of the ACTUAL kc."""
     import math
 
-    kc = max(16, min(n // 4, 4 * int(math.floor(math.sqrt(float(n))))))
+    kc = max(
+        16, min(n // 4, 4 * int(math.floor(math.sqrt(float(n)))), IVF_KC_CAP)
+    )
     return kc, max(1, kc // 4)
 
 
@@ -280,12 +291,17 @@ def _stable_topn(cos_row: np.ndarray, cids: np.ndarray, n: int) -> np.ndarray:
     return cids[order[:n]]
 
 
-def _topn_cid_udf(centroids: np.ndarray, cids: np.ndarray, n: int):
+def _topn_cid_udf(bc, n: int):
     """pandas UDF embedding → array<int> of the top-n centroid ids under
-    the fold-exact cosine with (cos DESC, cid ASC) ties."""
+    the fold-exact cosine with (cos DESC, cid ASC) ties. ``bc`` is a
+    ``sparkContext.broadcast`` of (centroid matrix, cid array): the matrix
+    ships to each executor once per app, never re-pickled per task the way
+    a closure capture would be (matches plans/regeoloc.py's sensor-track
+    broadcast)."""
 
     @F.pandas_udf("array<int>")
     def _probes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        centroids, cids = bc.value
         for emb in it:
             m = np.stack(emb.to_numpy()).astype(np.float64)
             cos = _cos_rows(m, centroids)
@@ -297,6 +313,21 @@ def _topn_cid_udf(centroids: np.ndarray, cids: np.ndarray, n: int):
             )
 
     return _probes
+
+
+# Per-app memo of centroid broadcasts: (index key, applicationId) → bc.
+# A broadcast belongs to one SparkContext; keying by applicationId makes a
+# restarted session re-broadcast instead of reusing a dead handle.
+_IVF_BC: dict[tuple[str, str], "object"] = {}
+
+
+def _centroid_broadcast(spark: SparkSession, key: str, cmat: np.ndarray,
+                        cids: np.ndarray):
+    sc = spark.sparkContext
+    bc_key = (key, sc.applicationId)
+    if bc_key not in _IVF_BC:
+        _IVF_BC[bc_key] = sc.broadcast((cmat, cids))
+    return _IVF_BC[bc_key]
 
 
 def ann_ivf_topk_sql(
@@ -325,7 +356,8 @@ def ann_ivf_topk_sql(
         "params AS (SELECT COUNT(*) AS n FROM embeddings)",
         (
             "params2 AS (SELECT n, GREATEST(16, LEAST(n // 4, "
-            "4 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT))) AS kc "
+            "4 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT), "
+            f"{IVF_KC_CAP})) AS kc "
             "FROM params)"
         ),
         "params3 AS (SELECT n, kc, GREATEST(1, kc // 4) AS nprobe FROM params2)",
@@ -613,10 +645,18 @@ def kmeans_centroids(
         eager=True
     )
     seeds = train.limit(n_centroids).collect()
+    # the IVF_KC_CAP coupling guarantees the sample covers the seed set
+    # (kc <= cap/2^5, and at tiny corpora kc <= n/4 <= sample): if this
+    # fires, the knobs have been decoupled and Lloyd would degenerate to
+    # one centroid per training row
+    assert len(seeds) == n_centroids, (
+        f"seed sample exhausted: {len(seeds)} < {n_centroids} centroids"
+    )
     cids = np.arange(len(seeds), dtype=np.int64)
     cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
     for _ in range(iters):
-        assign = _topn_cid_udf(cmat, cids, 1)
+        bc = e.sparkSession.sparkContext.broadcast((cmat, cids))
+        assign = _topn_cid_udf(bc, 1)
         a = train.select(
             F.element_at(assign(F.col("embedding")), 1).alias("cid"), "embedding"
         )
@@ -646,6 +686,14 @@ def kmeans_centroids(
             .orderBy("cid")
             .collect()
         )
+        bc.unpersist()
+        # driver traffic per iteration is exactly one assembled row per
+        # centroid — this is the invariant that keeps the Lloyd loop
+        # bounded at any corpus size (empty clusters drop out, so <=)
+        assert len(cent) <= n_centroids, (
+            f"Lloyd update returned {len(cent)} rows for {n_centroids} "
+            "centroids — per-centroid assembly invariant broken"
+        )
         cids = np.array([r.cid for r in cent], dtype=np.int64)
         cmat = np.stack(
             [np.asarray(r.ce, dtype=np.float64) for r in cent]
@@ -664,6 +712,26 @@ def _default_index_root() -> str:
     from raster_processor_spark.sources.snapshots import engine_store_root
 
     return engine_store_root()
+
+
+def _corpus_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: total byte size xor
+    a size-weighted name hash. Folded into the snapshot-index key so a
+    corpus regenerated IN PLACE with the same row count gets a fresh index
+    instead of silently serving stale centroids/postings (the DuckDB twin
+    retrains inline, so a stale index breaks oracle parity)."""
+    import os
+    import zlib
+
+    acc = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                acc ^= (zlib.crc32(fn.encode()) * 31 + st.st_size) & 0xFFFFFFFF
+    else:
+        acc = os.path.getsize(path) & 0xFFFFFFFF
+    return f"{acc:08x}"
 
 
 def ivf_index(
@@ -686,18 +754,28 @@ def ivf_index(
     from raster_processor_spark.operators.knn import parquet_row_count
     from raster_processor_spark.sources.snapshots import SnapshotStore
 
-    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    corpus_path = f"{sf_dir}/embeddings.parquet"
+    n = parquet_row_count(corpus_path)
     n_centroids, nprobe = ivf_params(n)
     key = (
         f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_n{n}_k{n_centroids}_i{iters}_c{IVF_SAMPLE_CAP}"
+        f"_fp{_corpus_fingerprint(corpus_path)}"
     )
     if key not in _IVF_MEMO:
         store = SnapshotStore(_default_index_root())
+        # mutable on purpose: compute() fills in the ACTUAL post-dropout
+        # centroid count and probe fraction before the manifest is written
+        # (resume_or_compute commits after compute() returns)
+        metrics = {"n": n, "n_centroids": n_centroids, "iters": iters}
 
         def compute() -> DataFrame:
-            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            e = spark.read.parquet(corpus_path)
             cmat, cids = kmeans_centroids(e, n_centroids, iters)
+            metrics["actual_centroids"] = int(len(cids))
+            metrics["probe_fraction"] = round(
+                min(max(1, n_centroids // 4), len(cids)) / len(cids), 4
+            )
             return spark.createDataFrame(
                 [
                     (int(c), [float(x) for x in row])
@@ -706,16 +784,17 @@ def ivf_index(
                 "cid BIGINT, ce ARRAY<DOUBLE>",
             )
 
-        cdf = store.resume_or_compute(
-            spark, key, compute,
-            metrics={"n": n, "n_centroids": n_centroids, "iters": iters},
-        )
+        cdf = store.resume_or_compute(spark, key, compute, metrics=metrics)
         rows = cdf.orderBy("cid").collect()
         _IVF_MEMO[key] = (
             np.stack([np.asarray(r.ce, dtype=np.float64) for r in rows]),
             np.array([r.cid for r in rows], dtype=np.int64),
         )
     cmat, cids = _IVF_MEMO[key]
+    # nprobe is derived from the NOMINAL kc; empty-cluster dropout can leave
+    # fewer actual centroids. Clamp so the advertised probe fraction can
+    # never silently exceed 1.0 of the real index.
+    nprobe = min(nprobe, len(cids))
     return cmat, cids, n_centroids, nprobe
 
 
@@ -737,20 +816,23 @@ def ivf_postings(
     from raster_processor_spark.sources.snapshots import SnapshotStore
 
     cmat, cids, n_centroids, _ = ivf_index(spark, sf_dir, iters)
-    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    corpus_path = f"{sf_dir}/embeddings.parquet"
+    n = parquet_row_count(corpus_path)
     key = (
         f"ivfpost_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_n{n}_k{n_centroids}_i{iters}_s{spill}_c{IVF_SAMPLE_CAP}"
+        f"_fp{_corpus_fingerprint(corpus_path)}"
     )
     store = SnapshotStore(_default_index_root())
+    bc = _centroid_broadcast(spark, key, cmat, cids)
 
     def compute() -> DataFrame:
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        e = spark.read.parquet(corpus_path)
         return e.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("ne"),
             F.explode(
-                _topn_cid_udf(cmat, cids, spill)(F.col("embedding"))
+                _topn_cid_udf(bc, spill)(F.col("embedding"))
             ).alias("cluster"),
         )
 
@@ -777,11 +859,14 @@ def ann_ivf_topk(
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cmat, cids, n_centroids, nprobe = ivf_index(spark, sf_dir)
     corpus = ivf_postings(spark, sf_dir, spill)
+    bc = _centroid_broadcast(
+        spark, f"ivfq_{sf_dir}_{n_centroids}", cmat, cids
+    )
     qs = e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     qp = qs.withColumn(
-        "cluster", F.explode(_topn_cid_udf(cmat, cids, nprobe)(F.col("qe")))
+        "cluster", F.explode(_topn_cid_udf(bc, nprobe)(F.col("qe")))
     )
     # spill means a (query, neighbor) pair can collide in several probed
     # clusters — duplicates carry identical cosines, so score first and

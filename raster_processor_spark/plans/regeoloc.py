@@ -276,6 +276,15 @@ def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     srows = sens.orderBy("stus").collect()
+    if not srows:
+        # np.clip(idx-1, 0, n-1) with n == 0 would index an empty array at
+        # -1; an empty sensor table means there is nothing to gather — fail
+        # loudly (the window form nearest_sensor_gather produces the same
+        # empty/null outcome by construction)
+        raise ValueError(
+            "gather_taylor_broadcast: sensor table is empty — no track to "
+            "gather against (use nearest_sensor_gather for the general path)"
+        )
     st = np.array([r.stus for r in srows], dtype=np.int64)
     sxa = np.array([r.sx for r in srows], dtype=np.float64)
     sya = np.array([r.sy for r in srows], dtype=np.float64)

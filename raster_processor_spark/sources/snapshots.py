@@ -237,15 +237,35 @@ def bucketed_table(
     tables bucketed on the same key run with ZERO Exchange nodes — the
     write-time layout replaces the run-time shuffle, which is the 100 TB
     strategy for any join keyed on the tiling (bucket both sides by cell
-    once, join exchange-free forever after)."""
+    once, join exchange-free forever after).
+
+    The bucket count is EMBEDDED in both the catalog name and the on-disk
+    path: a changed n_buckets (or bucketing logic) can therefore never
+    re-register a stale file layout under a mismatched bucket spec — which
+    would make the exchange-free SortMergeJoin silently drop matching rows.
+    On the re-register path the declared spec is additionally validated
+    against the bucket ids encoded in the part-file names."""
     import re
 
-    safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", name) + f"_b{n_buckets}"
+    path = path.rstrip("/") + f"_b{n_buckets}"
     if spark.catalog.tableExists(safe):
         return safe
     if os.path.isdir(path) and any(
         f.startswith("part-") for f in os.listdir(path)
     ):
+        # Spark bucketed files are named part-XXXXX-<uuid>_<bucketid>.c000…;
+        # a file whose bucket id falls outside the declared spec means the
+        # on-disk layout was written under a different bucket count
+        for f in os.listdir(path):
+            m = re.match(r"part-\d+-[0-9a-f-]+_(\d+)\.", f)
+            if m and int(m.group(1)) >= n_buckets:
+                raise ValueError(
+                    f"bucketed_table {safe!r}: on-disk file {f!r} encodes "
+                    f"bucket id {m.group(1)} >= declared {n_buckets} buckets"
+                    " — the layout at this path was written under a"
+                    " different bucket spec"
+                )
         schema = spark.read.parquet(path).schema
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
