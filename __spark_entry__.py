@@ -24,11 +24,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["zonal_stats"].spark(spark, "/root/testdata/sf0.001")
 
 
+# Queries listed first for samplers that walk the dict in order: the ones
+# with the fewest driver-recorded correctness rows to date (every query is
+# equally oracled; this only front-loads coverage of the least-sampled).
+_SAMPLE_FIRST = [
+    # cheap ones first: the leading queries absorb JVM/codegen warm-up
+    "time_coverage",
+    "cell_centers",
+    "repetition_stats",
+    "bright_land_exclusion",
+    "tile_name_sort",
+    "weighted_error_metrics",
+    "zonal_stats_weighted",
+    "training_corpus",
+    "regeoloc",
+]
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in REGISTRY if n not in _SAMPLE_FIRST]
+    return [n for n in _SAMPLE_FIRST if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
