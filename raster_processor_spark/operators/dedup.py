@@ -353,57 +353,59 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_NIBBLE_SPREAD): each row contributes a 16-entry nibble-lookup
     word per long and ONE groupBy runs 16 integer SUMs + a COUNT instead of
     63 conditional SUMs. Exact while shingles-per-doc < 2^15."""
+    # The hash / nibble-pack / word-assembly stages are built as SQL STRINGS
+    # (one selectExpr py4j call per stage), not as Column-DSL trees: the
+    # assembly is ~500 expression nodes, and constructing them through the
+    # Python DSL costs one py4j round-trip per node — measured 1.8 s per
+    # invocation at sf0.1, dwarfing both Catalyst analysis (0.1 s) and the
+    # actual execution (0.9 s). String assembly is O(1) round-trips and the
+    # JVM-side parse is sub-millisecond; the resulting plan is identical.
     sh = shingles(spark, sf_dir)
-    hashed = sh.select(
+    hashed = sh.selectExpr(
         "doc_id",
         *[
-            F.pmod(F.lit(a) * F.col("sid") + F.lit(b), F.lit(1 << nb)).alias(f"h{off}")
+            f"pmod({a}L * sid + {b}L, {1 << nb}L) AS h{off}"
             for off, nb, a, b in SIMHASH_WORDS
         ],
     )
-    spread = F.array(*[F.lit(v) for v in SIMHASH_NIBBLE_SPREAD])
-    packed_cols = []
-    for j, (off, shift) in enumerate(_simhash_nibble_sources()):
-        nib = F.shiftright(F.col(f"h{off}"), shift).bitwiseAND(F.lit(15))
-        packed_cols.append(
-            F.element_at(spread, (nib + 1).cast("int")).alias(f"p{j}")
-        )
-    packed = hashed.select("doc_id", *packed_cols)
-    n_longs = len(packed_cols)
+    spread = "array(" + ", ".join(f"{v}L" for v in SIMHASH_NIBBLE_SPREAD) + ")"
+    packed_exprs = [
+        f"element_at({spread}, "
+        f"CAST(shiftright(h{off}, {shift}) & 15 AS INT) + 1) AS p{j}"
+        for j, (off, shift) in enumerate(_simhash_nibble_sources())
+    ]
+    packed = hashed.selectExpr("doc_id", *packed_exprs)
+    n_longs = len(packed_exprs)
     agged = packed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{j}").alias(f"s{j}") for j in range(n_longs)],
     )
     lane_mask = (1 << SIMHASH_LANE_BITS) - 1
-    word = None
+    terms = []
     for b in range(SIMHASH_BITS):
         j, lane = b // SIMHASH_LANES, b % SIMHASH_LANES
-        cnt = F.shiftright(F.col(f"s{j}"), SIMHASH_LANE_BITS * lane).bitwiseAND(
-            F.lit(lane_mask)
-        )
+        cnt = f"(shiftright(s{j}, {SIMHASH_LANE_BITS * lane}) & {lane_mask}L)"
         # branch-free majority bit: (2*cnt > n) <=> (n - 2*cnt) < 0 <=> its
         # sign bit — 63 arithmetic terms compile to far smaller codegen than
         # 63 CASE branches (measured ~1 s faster per pass at sf0.1)
-        bit = F.shiftrightunsigned((F.col("n") - cnt * 2).cast("long"), 63)
-        term = bit * F.lit(1 << b)
-        word = term if word is None else word + term
+        terms.append(
+            f"shiftrightunsigned(n - 2 * {cnt}, 63) * {1 << b}L"
+        )
+    word = " + ".join(terms)
     # runtime lane guard: a document with >= 2^15 distinct shingles would
     # bleed one packed counter into its neighbor and corrupt the fingerprint
     # SILENTLY — fail loudly instead. n is already in the aggregate, so the
     # check is one comparison per document; the branch is dead code on any
     # corpus satisfying the bound (and the DuckDB twin, which has no packing
     # to protect, needs no counterpart).
-    guarded = F.when(
-        F.col("n") >= F.lit(1 << SIMHASH_LANE_BITS),
-        F.raise_error(
-            F.lit(
-                "simhash: document exceeds 2^15 distinct shingles; packed "
-                "lane counters would overflow — widen SIMHASH_LANE_BITS or "
-                "split the document upstream"
-            )
-        ).cast("long"),
-    ).otherwise(word.cast("long"))
-    return agged.select("doc_id", guarded.alias("simhash"))
+    guarded = (
+        f"CASE WHEN n >= {1 << SIMHASH_LANE_BITS} THEN "
+        "CAST(raise_error('simhash: document exceeds 2^15 distinct shingles;"
+        " packed lane counters would overflow - widen SIMHASH_LANE_BITS or"
+        " split the document upstream') AS LONG) "
+        f"ELSE CAST({word} AS LONG) END AS simhash"
+    )
+    return agged.selectExpr("doc_id", guarded)
 
 
 # --------------------------------------------------------- SQL oracle twins --
