@@ -61,6 +61,9 @@ HEADLINE = [
     "ann_srp_topk",
     "bucketed_raster_compare",
     "knn_hex",
+    # round-5 additions
+    "knn_bucketed",
+    "top_sources",
 ]
 
 

@@ -63,12 +63,47 @@ def parquet_row_count(path: str) -> int:
     return ds.dataset(path, format="parquet").count_rows()
 
 
+def density_res(n: int) -> int:
+    """Quadcell resolution for ~0.6 points per cell (see knn_join)."""
+    return max(2, min(12, int(math.log2(max(n, 16) / 0.6) / 2)))
+
+
+def _quad_bin_cols(res: int):
+    """(ybin expr, xbin expr, ny, nx) — clamped lat rows, wrapped lon cols."""
+    ny, nx = 1 << res, 1 << (res + 1)
+    ybin = F.least(
+        F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
+        F.lit(ny - 1),
+    )
+    xbin = F.least(
+        F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    return ybin, xbin, ny, nx
+
+
+def indexed_corpus(points: DataFrame, res: int) -> DataFrame:
+    """(nkey, nlat, nlon, cell) — the kNN corpus side with its composite
+    quadcell id (cell = ybin*nx + xbin, bijective with the (ybin, xbin)
+    pair). This is the table a write-time bucketed layout commits ONCE per
+    (corpus, res): every later kNN candidate join scans it bucket-aligned
+    with zero Exchange on the corpus side (see knn_join corpus_table)."""
+    ybin, xbin, _ny, nx = _quad_bin_cols(res)
+    return points.select(
+        F.col("key").alias("nkey"),
+        F.col("lat").alias("nlat"),
+        F.col("lon").alias("nlon"),
+        (ybin * nx + xbin).alias("cell"),
+    )
+
+
 def knn_join(
     points: DataFrame,
     k: int,
     res: int | None = None,
     rings: tuple[int, ...] = (3, 12),
     n_hint: int | None = None,
+    corpus_table: str | None = None,
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
@@ -96,26 +131,24 @@ def knn_join(
         # than ~8/cell), and the ring escalation + brute tail keep the
         # result exact whatever the density guess
         n = n_hint if n_hint is not None else pts.count()
-        res = max(2, min(12, int(math.log2(max(n, 16) / 0.6) / 2)))
+        res = density_res(n)
     s = 180.0 / (1 << res)  # cell size in degrees (square)
 
-    ny, nx = 1 << res, 1 << (res + 1)
-    ybin = F.least(
-        F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
-        F.lit(ny - 1),
-    )
-    xbin = F.least(
-        F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
-        F.lit(nx - 1),
-    )
+    ybin, xbin, ny, nx = _quad_bin_cols(res)
     indexed = pts.withColumn("ybin", ybin).withColumn("xbin", xbin)
-    corpus = indexed.select(
-        F.col("key").alias("nkey"),
-        F.col("lat").alias("nlat"),
-        F.col("lon").alias("nlon"),
-        F.col("ybin").alias("nyb"),
-        F.col("xbin").alias("nxb"),
-    )
+    if corpus_table is not None:
+        # write-time bucketed layout (sources/snapshots.bucketed_table on
+        # "cell"): every ring phase's candidate join scans the corpus
+        # bucket-aligned — ZERO Exchange on the corpus side, and the corpus
+        # derivation (georeference + binning) is never recomputed. The
+        # merge hint pins the sort-merge path so the layout is exercised
+        # even at toy scale where a broadcast would otherwise win; at
+        # corpus scale SMJ is the only viable plan anyway.
+        corpus = spark.table(corpus_table)
+        corpus_join = corpus.hint("merge")
+    else:
+        corpus = indexed_corpus(pts, res)
+        corpus_join = corpus
 
     unresolved = indexed
     accepted: DataFrame | None = None
@@ -135,9 +168,12 @@ def knn_join(
             .withColumn("nyb", F.col("ybin") + F.col("dy"))
             .withColumn("nxb", F.pmod(F.col("xbin") + F.col("dx"), F.lit(nx)))
             .where((F.col("nyb") >= 0) & (F.col("nyb") < ny))
-            .select("qkey", "qlat", "qlon", "nyb", "nxb")
+            .select(
+                "qkey", "qlat", "qlon",
+                (F.col("nyb") * nx + F.col("nxb")).alias("cell"),
+            )
         )
-        cand = probes.join(corpus, ["nyb", "nxb"], "inner").where(
+        cand = probes.join(corpus_join, ["cell"], "inner").where(
             F.col("qkey") != F.col("nkey")
         )
         dx = F.col("nlon") - F.col("qlon")

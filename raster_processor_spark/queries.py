@@ -371,6 +371,49 @@ def knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_op.knn_hex_join(pts, KNN_K, n_hint=n)
 
 
+# the storage-layout twin: identical contract and OUTPUT, but the corpus
+# side (georeferenced + cell-binned points) is committed ONCE as a
+# bucketed+sorted table on the cell id — every ring phase's candidate join
+# then scans it bucket-aligned with ZERO Exchange on the corpus side, the
+# same write-time-layout-replaces-shuffle strategy bucketed_raster_compare
+# demonstrates for J8 (at 10^12 points the candidate equi-join on cell ids
+# is exactly the shuffle the layout must absorb)
+N_KNN_BUCKETS = 16
+
+
+def _knn_corpus_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import os as _os
+    import re as _re
+
+    from raster_processor_spark.sources.snapshots import bucketed_table
+
+    n = knn_op.parquet_row_count(f"{sf_dir}/documents.parquet")
+    res = knn_op.density_res(n)
+    base = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(_os.path.normpath(sf_dir)))
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "spark-warehouse", "rps_bucketed", base,
+    )
+
+    def build():
+        pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
+        return knn_op.indexed_corpus(pts, res)
+
+    tbl = bucketed_table(
+        spark, f"rps_knncorpus_{base}_r{res}",
+        _os.path.join(root, f"knn_r{res}"),
+        build, "cell", N_KNN_BUCKETS,
+    )
+    return tbl, res
+
+
+@q("knn_bucketed", knn_op.knn_sql(DOC_PTS_SQL, KNN_K))
+def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
+    tbl, res = _knn_corpus_table(spark, sf_dir)
+    return knn_op.knn_join(pts, KNN_K, res=res, corpus_table=tbl)
+
+
 # ====================================================================== A6 ===
 # inverse-variance weighted mean per cell (9-layer fused agg in one pass)
 
@@ -2000,4 +2043,65 @@ def height_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.col("cell_height").alias("height_new"),
         (F.col("cell_height") - F.col("height")).alias("height_delta"),
+    )
+
+
+# ============================================================== O5 / plots ===
+# Binned top-sources: 2-D bin assign → per-bin top-n contributing sources
+# with percentage shares — the reference's scatter-density cursor helper
+# (analysis/scatter_density.py:16-46 get_top_sources: per (bin_x, bin_y),
+# Counter.most_common(n) of the source labels plus 100*count/len shares).
+# Relational form: one row per (bin, rank). Ties broken by source ASC
+# (most_common's insertion order is not deterministic; the engine pins it).
+# Scale shape: the corpus-sized shuffle is the partial-aggregated groupBy
+# on (bin, source); the rank/total window runs over the contracted count
+# table (|bins| x |sources| rows), never over raw points.
+
+TOP_SOURCES_N = 3
+
+
+@q(
+    "top_sources",
+    f"""
+WITH pts AS ({DOC_PTS_SQL}),
+binned AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 15.0) AS BIGINT) AS bin_x,
+         CAST(FLOOR((lat + 90.0) / 15.0) AS BIGINT) AS bin_y,
+         source
+  FROM pts
+),
+cnt AS (SELECT bin_x, bin_y, source, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT bin_x, bin_y, source, c,
+         CAST(SUM(c) OVER (PARTITION BY bin_x, bin_y) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY bin_x, bin_y
+                            ORDER BY c DESC, source ASC) AS rank
+  FROM cnt
+)
+SELECT bin_x, bin_y, rank, source, 100.0 * c / t AS pct
+FROM ranked WHERE rank <= {TOP_SOURCES_N}
+""",
+)
+def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = doc_points(spark, sf_dir)
+    binned = pts.select(
+        F.floor((F.col("lon") + 180.0) / 15.0).cast("long").alias("bin_x"),
+        F.floor((F.col("lat") + 90.0) / 15.0).cast("long").alias("bin_y"),
+        "source",
+    )
+    cnt = binned.groupBy("bin_x", "bin_y", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("bin_x", "bin_y")
+    wr = w.orderBy(F.col("c").desc(), F.col("source").asc())
+    return (
+        cnt.withColumn("t", F.sum("c").over(w))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_SOURCES_N)
+        .select(
+            "bin_x", "bin_y",
+            F.col("rank").cast("long").alias("rank"),
+            "source",
+            (F.lit(100.0) * F.col("c") / F.col("t")).alias("pct"),
+        )
     )

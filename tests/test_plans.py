@@ -177,6 +177,37 @@ def test_knn_hex_matches_quad_knn_exactly(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_bucketed_matches_quad_knn_exactly(spark):
+    # the storage-layout twin must produce the identical exact kNN result
+    from raster_processor_spark.queries import REGISTRY as R
+
+    a = sorted(map(tuple, R["knn"].spark(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, R["knn_bucketed"].spark(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_knn_bucketed_corpus_scan_is_bucket_aligned(spark):
+    # the candidate join's corpus side must read the committed bucketed
+    # layout (no Exchange above the corpus scan): the scan itself reports
+    # bucket alignment, and disabling bucketing must ADD exchanges to the
+    # same query — write-time layout replacing run-time shuffle
+    df = REGISTRY["knn_bucketed"].spark(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 16 out of 16" in plan
+    n_bucketed = plan.count("Exchange")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        df2 = REGISTRY["knn_bucketed"].spark(spark, SF_ORACLE)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    assert plan2.count("Exchange") > n_bucketed, (
+        f"bucketing saved no exchanges: {n_bucketed} vs {plan2.count('Exchange')}"
+    )
+
+
 def test_bucketed_compare_join_is_exchange_free(spark):
     # both sides are bucketed+sorted on cell_id at write time, so the
     # full-outer SMJ must run with ZERO Exchange nodes — the write-time

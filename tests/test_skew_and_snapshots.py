@@ -36,6 +36,68 @@ def test_hot_cells_exist_and_salting_bounds_partitions(spark):
     assert biggest < top["count"] * 0.5, "salting failed to split the hot cell"
 
 
+def test_hot_polygon_join_task_sizes_stay_bounded(spark):
+    """Join-side skew (north rule: skew handled explicitly): ONE polygon
+    contains ~80% of all points. The two-phase pip join broadcasts the
+    polygon dim, so the fact side NEVER shuffles on poly_id — the hot
+    polygon's candidate pairs stay spread across the input partitions
+    (bounded task sizes), and the downstream zonal groupBy combines the hot
+    key map-side (partial aggregation), so shuffle volume per key is
+    O(partitions), not O(rows)."""
+    from raster_processor_spark import polygons as pg
+    from raster_processor_spark.operators import spatial_join as sj
+    from raster_processor_spark.queries import N_POLYS
+
+    c = pg.polygons_np(N_POLYS)[0].mean(axis=0)  # (lon, lat) centroid
+    hot_lon, hot_lat = float(c[0]), float(c[1])
+    n, parts = 40_000, 16
+    hot = F.col("id") % 5 < 4  # 80% of points in a 0.05-deg blob inside poly 0
+    jl = (F.pmod(F.col("id") * 2654435761, F.lit(1000)) - 500) / 10000.0
+    jo = (F.pmod(F.col("id") * 2246822519, F.lit(1000)) - 500) / 10000.0
+    pts = (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id").alias("key"),
+            F.when(hot, hot_lat + jl)
+            .otherwise(F.pmod(F.col("id") * 48611, F.lit(1000)) / 10.0 - 50.0)
+            .alias("lat"),
+            F.when(hot, hot_lon + jo)
+            .otherwise(F.pmod(F.col("id") * 104729, F.lit(3200)) / 10.0 - 160.0)
+            .alias("lon"),
+        )
+    )
+    joined = sj.point_in_polygon_join(
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("key")
+    )
+    per_poly = {
+        r.poly_id: r.c
+        for r in joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert max(per_poly.values()) >= 0.75 * (0.8 * n), "fixture is not skewed"
+
+    # bounded task-size spread: the hot polygon's pairs remain distributed
+    # over (nearly) all input partitions, no partition owns more than 3x
+    # the mean
+    counts = [
+        r.c
+        for r in joined.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(counts) >= parts // 2, f"pairs collapsed to {len(counts)} partitions"
+    assert max(counts) <= 3 * (sum(counts) / len(counts)), (
+        f"task-size spread unbounded: max={max(counts)} mean={sum(counts)/len(counts):.0f}"
+    )
+
+    # the zonal rollup must partial-aggregate the hot key before its
+    # exchange (map-side combine — the reason groupBy skew is benign here)
+    zonal = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_pix"))
+    plan = zonal._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:1200]
+
+
 def test_snapshot_time_travel_and_parent_chain(spark, tmp_path):
     store = SnapshotStore(str(tmp_path))
     df1 = spark.range(0, 100).withColumn("v", F.lit(1))
