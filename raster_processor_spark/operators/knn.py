@@ -97,62 +97,36 @@ def indexed_corpus(points: DataFrame, res: int) -> DataFrame:
     )
 
 
-def knn_join(
-    points: DataFrame,
-    k: int,
-    res: int | None = None,
-    rings: tuple[int, ...] = (3, 12),
-    n_hint: int | None = None,
-    corpus_table: str | None = None,
-) -> DataFrame:
-    """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
+# Hot-cell split (two-level quadtree): a cell whose occupancy exceeds
+# HOT_CELL_CAP makes ring candidates QUADRATIC in its membership (measured:
+# the fixture's hot box at sf1 put ~625 points/cell at the density-chosen
+# res → 26M ring-3 candidates for 50k queries, 500+ per query). Queries in
+# hot cells re-run the SAME exact ring algorithm at a finer resolution
+# (res + HOT_RES_DELTA → 64x more cells over the hot region); each branch
+# is independently exact (ring escalation + brute tail), so the union is
+# too. The occupancy table is one map-side-combined agg over the corpus
+# and the hot-cell set is a broadcast — at 10^12 points this is the
+# density-adaptive indexing a uniform grid cannot avoid.
+HOT_CELL_CAP = 64
+HOT_RES_DELTA = 3
+# The split's fixed cost (occupancy scan + a second branch in the plan)
+# only pays once a hot cell's quadratic term can dominate: with ~10% of
+# points in a hot box, extra candidates ~ (0.1 n)^2 crosses the ring
+# schedule's own cost around n ~ 2*10^4. Below the gate the base schedule
+# is strictly faster and its worst case is bounded by a small n^2.
+HOT_SPLIT_MIN_ROWS = 16384
 
-    ``res`` defaults to a density heuristic (~0.6 points per cell; the
-    default disk(3) = 49-cell first phase then resolves nearly every query
-    in one round, and the ring-12 second phase — empty in the common case —
-    bounds the brute tail at corpus scale). The row count feeding the
-    heuristic comes from ``n_hint`` (parquet_row_count / snapshot manifest
-    — metadata only); only when the caller supplies neither ``res`` nor
-    ``n_hint`` does the function fall back to an eager pts.count(), which
-    costs a full extra scan — avoid at scale.
 
-    Each ring's accepted set feeds the final union AND the next phase's
-    anti-join; the expensive part (candidate equi-join + its Exchange) is
-    shared between the two consumers via ReusedExchange, so there is no
-    persist() — measured identical-or-faster than a persisted variant, and
-    stateless: nothing survives the query (a persisted variant leaked one
-    cached ring per invocation for the session's lifetime)."""
-    spark = points.sparkSession
-    pts = points.select("key", "lat", "lon")
-    if res is None:
-        # 2^(2res+1) cells total; aim for ~0.6 points per cell — with
-        # disk(3) = 49 cells that is ~30 candidates per query, an order of
-        # magnitude less window work than denser grids (measured 3-5x faster
-        # than ~8/cell), and the ring escalation + brute tail keep the
-        # result exact whatever the density guess
-        n = n_hint if n_hint is not None else pts.count()
-        res = density_res(n)
-    s = 180.0 / (1 << res)  # cell size in degrees (square)
-
-    ybin, xbin, ny, nx = _quad_bin_cols(res)
-    indexed = pts.withColumn("ybin", ybin).withColumn("xbin", xbin)
-    if corpus_table is not None:
-        # write-time bucketed layout (sources/snapshots.bucketed_table on
-        # "cell"): every ring phase's candidate join scans the corpus
-        # bucket-aligned — ZERO Exchange on the corpus side, and the corpus
-        # derivation (georeference + binning) is never recomputed. The
-        # merge hint pins the sort-merge path so the layout is exercised
-        # even at toy scale where a broadcast would otherwise win; at
-        # corpus scale SMJ is the only viable plan anyway.
-        corpus = spark.table(corpus_table)
-        corpus_join = corpus.hint("merge")
-    else:
-        corpus = indexed_corpus(pts, res)
-        corpus_join = corpus
-
-    unresolved = indexed
+def _ring_phases_quad(
+    spark, queries, corpus_join, res: int, rings: tuple[int, ...], k: int
+):
+    """Run the escalating ring schedule at one resolution. ``queries`` has
+    (key, lat, lon, ybin, xbin) binned at ``res``; returns (accepted rows
+    (qkey, nkey, dist2, rank) or None, unresolved queries)."""
+    s = 180.0 / (1 << res)
+    ny, nx = 1 << res, 1 << (res + 1)
+    unresolved = queries
     accepted: DataFrame | None = None
-
     for ring in rings:
         offs = _disk_offsets_df(spark, ring)
         q = unresolved.select(
@@ -192,9 +166,7 @@ def knn_join(
                 "_kth",
                 F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all),
             )
-            .withColumn(
-                "_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit)
-            )
+            .withColumn("_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit))
         )
         # the accepted set is referenced twice in the final plan — once in
         # the output union and once to derive the next phase's unresolved
@@ -207,6 +179,100 @@ def knn_join(
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
+    return accepted, unresolved
+
+
+def knn_join(
+    points: DataFrame,
+    k: int,
+    res: int | None = None,
+    rings: tuple[int, ...] = (3, 12),
+    n_hint: int | None = None,
+    corpus_table: str | None = None,
+    corpus_table_fine: str | None = None,
+    hot_cap: int | None = HOT_CELL_CAP,
+) -> DataFrame:
+    """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
+
+    ``res`` defaults to a density heuristic (~0.6 points per cell; the
+    default disk(3) = 49-cell first phase then resolves nearly every query
+    in one round, and the ring-12 second phase — empty in the common case —
+    bounds the brute tail at corpus scale). The row count feeding the
+    heuristic comes from ``n_hint`` (parquet_row_count / snapshot manifest
+    — metadata only); only when the caller supplies neither ``res`` nor
+    ``n_hint`` does the function fall back to an eager pts.count(), which
+    costs a full extra scan — avoid at scale.
+
+    Each ring's accepted set feeds the final union AND the next phase's
+    anti-join; the expensive part (candidate equi-join + its Exchange) is
+    shared between the two consumers via ReusedExchange, so there is no
+    persist() — measured identical-or-faster than a persisted variant, and
+    stateless: nothing survives the query (a persisted variant leaked one
+    cached ring per invocation for the session's lifetime)."""
+    spark = points.sparkSession
+    pts = points.select("key", "lat", "lon")
+    if res is None:
+        # 2^(2res+1) cells total; aim for ~0.6 points per cell — with
+        # disk(3) = 49 cells that is ~30 candidates per query, an order of
+        # magnitude less window work than denser grids (measured 3-5x faster
+        # than ~8/cell), and the ring escalation + brute tail keep the
+        # result exact whatever the density guess
+        n = n_hint if n_hint is not None else pts.count()
+        res = density_res(n)
+    else:
+        n = n_hint
+
+    ybin, xbin, ny, nx = _quad_bin_cols(res)
+    indexed = pts.withColumn("ybin", ybin).withColumn("xbin", xbin)
+    if corpus_table is not None:
+        # write-time bucketed layout (sources/snapshots.bucketed_table on
+        # "cell"): every ring phase's candidate join scans the corpus
+        # bucket-aligned — ZERO Exchange on the corpus side, and the corpus
+        # derivation (georeference + binning) is never recomputed. The
+        # merge hint pins the sort-merge path so the layout is exercised
+        # even at toy scale where a broadcast would otherwise win; at
+        # corpus scale SMJ is the only viable plan anyway.
+        corpus = spark.table(corpus_table)
+        corpus_join = corpus.hint("merge")
+    else:
+        corpus = indexed_corpus(pts, res)
+        corpus_join = corpus
+
+    fres = min(12, res + HOT_RES_DELTA)
+    split = hot_cap is not None and fres > res and (
+        n is None or n >= HOT_SPLIT_MIN_ROWS
+    )
+    if split:
+        # two-level quadtree: queries whose BASE cell is hot re-run the
+        # same exact schedule at the finer level against the re-binned
+        # corpus; both branches carry their own ring guarantee, so the
+        # union is exact regardless of where the occupancy split falls
+        occ = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("_occ"))
+        hot_cells = occ.where(F.col("_occ") > hot_cap).select("cell")
+        q_cell = indexed.withColumn("cell", F.col("ybin") * nx + F.col("xbin"))
+        q_sparse = q_cell.join(F.broadcast(hot_cells), "cell", "left_anti").drop("cell")
+        q_hot = q_cell.join(F.broadcast(hot_cells), "cell", "left_semi").drop(
+            "cell", "ybin", "xbin"
+        )
+        acc_s, un_s = _ring_phases_quad(spark, q_sparse, corpus_join, res, rings, k)
+        fybin, fxbin, _fny, _fnx = _quad_bin_cols(fres)
+        q_hot_f = q_hot.withColumn("ybin", fybin).withColumn("xbin", fxbin)
+        if corpus_table_fine is not None:
+            corpus_f = spark.table(corpus_table_fine).hint("merge")
+        else:
+            corpus_f = indexed_corpus(pts, fres)
+        acc_h, un_h = _ring_phases_quad(spark, q_hot_f, corpus_f, fres, rings, k)
+        accepted = (
+            acc_s.unionByName(acc_h)
+            if acc_s is not None and acc_h is not None
+            else (acc_s if acc_s is not None else acc_h)
+        )
+        cols = ["key", "lat", "lon"]
+        unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
+    else:
+        accepted, unresolved = _ring_phases_quad(
+            spark, indexed, corpus_join, res, rings, k
+        )
 
     # brute-force tail for whatever the ring schedule left unresolved:
     # broadcast the query side (tiny by construction — sparse-region
@@ -239,52 +305,27 @@ def knn_join(
     )
 
 
-def knn_hex_join(
-    points: DataFrame,
-    k: int,
-    res: int | None = None,
-    rings: tuple[int, ...] = (3, 12),
-    n_hint: int | None = None,
-) -> DataFrame:
-    """kNN via H3-style hex k-ring expansion (the north star's literal
-    phrasing) — same contract and EXACT same output as knn_join, different
-    index geometry: points land in pointy-top axial hex cells
-    (cellindex.hex_axial cube rounding, Arrow UDF), each phase explodes the
-    unresolved queries by hex disk(R) offsets and equi-joins candidates on
-    the (q, r) axial key.
+def _hex_qbin(res: int):
+    """Axial q of the cube-rounded hex cell as a pure codegen column (no
+    UDF: the indexed table feeds every ring phase on both sides, so an
+    Arrow stage here would run several times per query — measured 3x
+    slower). Rounding tie-break (JVM HALF_UP vs numpy half-even in
+    cellindex.hex_axial) is irrelevant to correctness: cube rounding
+    assigns the nearest hex center under ANY tie-break, which is all the
+    resolve bound needs."""
+    s = 180.0 / (1 << res)
+    sqrt3_3 = float(math.sqrt(3.0) / 3.0)
+    qf = (F.lit(sqrt3_3) * F.col("lon") - F.col("lat") / 3.0) / F.lit(s)
+    rf = (F.col("lat") * (2.0 / 3.0)) / F.lit(s)
+    sfv = -qf - rf
+    q0, r0, s0 = F.round(qf), F.round(rf), F.round(sfv)
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sfv)
+    fix_q = (dq > dr) & (dq > ds)
+    return F.when(fix_q, -r0 - s0).otherwise(q0).cast("long")
 
-    Resolution guarantee: hex centers at graph distance d are >=
-    1.5*size*d apart (|c|^2 = 3*size^2*(q^2+qr+r^2) and q^2+qr+r^2 >=
-    (3/4)*d^2 — tight at knight-move cells like (2,-1); enumeration test
-    in tests/). Any point outside disk(R) sits in a cell at distance >=
-    R+1 and each point is within one circumradius of its center, so its
-    separation from the query is >= (1.5*(R+1) - 2)*size; a query resolves
-    iff it has >= k candidates and its kth distance is strictly inside
-    that bound. Unresolved stragglers fall through rings to the broadcast
-    brute tail — exactness never depends on the density heuristic. No
-    longitude wrap (the hex grid is planar, matching the planar metric of
-    the oracle; a wrapped near-dateline neighbor is far in the metric, so
-    omitting wrapped candidates cannot change the answer)."""
-    from raster_processor_spark import cellindex as ci_mod  # noqa: F401
 
-    spark = points.sparkSession
-    pts = points.select("key", "lat", "lon")
-    if res is None:
-        n = n_hint if n_hint is not None else pts.count()
-        # ~0.6 points per hex cell: cells ~ 64800/(2.598 s^2) over the
-        # planar lon/lat rectangle, s = circumradius in degrees
-        s_target = math.sqrt(64800.0 * 0.6 / (2.598 * max(n, 16)))
-        res = max(2, min(12, round(math.log2(180.0 / s_target))))
-    s = 180.0 / (1 << res)  # hex circumradius, degrees
-
-    # axial cube rounding as pure codegen columns (no UDF: the indexed
-    # table feeds every ring phase on both sides, so an Arrow stage here
-    # would run several times per query — measured 3x slower). The rounding
-    # tie-break (JVM HALF_UP vs numpy half-even in cellindex.hex_axial)
-    # is irrelevant to correctness: cube rounding assigns the nearest hex
-    # center under ANY tie-break, which is all the resolve bound needs —
-    # and the bins are derived once and used consistently for queries and
-    # corpus inside this one plan.
+def _hex_rbin(res: int):
+    s = 180.0 / (1 << res)
     sqrt3_3 = float(math.sqrt(3.0) / 3.0)
     qf = (F.lit(sqrt3_3) * F.col("lon") - F.col("lat") / 3.0) / F.lit(s)
     rf = (F.col("lat") * (2.0 / 3.0)) / F.lit(s)
@@ -293,18 +334,28 @@ def knn_hex_join(
     dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sfv)
     fix_q = (dq > dr) & (dq > ds)
     fix_r = (~fix_q) & (dr > ds)
-    qbin = F.when(fix_q, -r0 - s0).otherwise(q0).cast("long")
-    rbin = F.when(fix_r, -q0 - s0).otherwise(r0).cast("long")
-    indexed = pts.withColumn("qbin", qbin).withColumn("rbin", rbin)
-    corpus = indexed.select(
+    return F.when(fix_r, -q0 - s0).otherwise(r0).cast("long")
+
+
+def _hex_corpus(points: DataFrame, res: int) -> DataFrame:
+    return points.select(
         F.col("key").alias("nkey"),
         F.col("lat").alias("nlat"),
         F.col("lon").alias("nlon"),
-        F.col("qbin").alias("nqb"),
-        F.col("rbin").alias("nrb"),
+        _hex_qbin(res).alias("nqb"),
+        _hex_rbin(res).alias("nrb"),
     )
 
-    unresolved = indexed
+
+def _ring_phases_hex(
+    spark, queries, corpus, res: int, rings: tuple[int, ...], k: int
+):
+    """Hex twin of _ring_phases_quad: same schedule, axial (q, r) keys and
+    the hex separation bound (see knn_hex_join docstring)."""
+    from raster_processor_spark import cellindex as ci_mod
+
+    s = 180.0 / (1 << res)
+    unresolved = queries
     accepted: DataFrame | None = None
     for ring in rings:
         offs = spark.createDataFrame(
@@ -352,6 +403,90 @@ def knn_hex_join(
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
+    return accepted, unresolved
+
+
+def knn_hex_join(
+    points: DataFrame,
+    k: int,
+    res: int | None = None,
+    rings: tuple[int, ...] = (3, 12),
+    n_hint: int | None = None,
+    hot_cap: int | None = HOT_CELL_CAP,
+) -> DataFrame:
+    """kNN via H3-style hex k-ring expansion (the north star's literal
+    phrasing) — same contract and EXACT same output as knn_join, different
+    index geometry: points land in pointy-top axial hex cells
+    (cellindex.hex_axial cube rounding, Arrow UDF), each phase explodes the
+    unresolved queries by hex disk(R) offsets and equi-joins candidates on
+    the (q, r) axial key.
+
+    Resolution guarantee: hex centers at graph distance d are >=
+    1.5*size*d apart (|c|^2 = 3*size^2*(q^2+qr+r^2) and q^2+qr+r^2 >=
+    (3/4)*d^2 — tight at knight-move cells like (2,-1); enumeration test
+    in tests/). Any point outside disk(R) sits in a cell at distance >=
+    R+1 and each point is within one circumradius of its center, so its
+    separation from the query is >= (1.5*(R+1) - 2)*size; a query resolves
+    iff it has >= k candidates and its kth distance is strictly inside
+    that bound. Unresolved stragglers fall through rings to the broadcast
+    brute tail — exactness never depends on the density heuristic. No
+    longitude wrap (the hex grid is planar, matching the planar metric of
+    the oracle; a wrapped near-dateline neighbor is far in the metric, so
+    omitting wrapped candidates cannot change the answer)."""
+    from raster_processor_spark import cellindex as ci_mod  # noqa: F401
+
+    spark = points.sparkSession
+    pts = points.select("key", "lat", "lon")
+    if res is None:
+        n = n_hint if n_hint is not None else pts.count()
+        # ~0.6 points per hex cell NOMINALLY — then one level finer: the
+        # fixture's points cluster in bands, so the occupancy of OCCUPIED
+        # cells runs ~4x the global average, and hex cells are 2.6x the
+        # area of quad cells at equal res (measured at sf1: res+1 halves
+        # the ring-3 candidate volume while the ring schedule still
+        # resolves >99% of sparse queries in the first phase)
+        s_target = math.sqrt(64800.0 * 0.6 / (2.598 * max(n, 16)))
+        res = max(2, min(12, round(math.log2(180.0 / s_target)) + 1))
+    else:
+        n = n_hint
+    indexed = pts.withColumn("qbin", _hex_qbin(res)).withColumn(
+        "rbin", _hex_rbin(res)
+    )
+    corpus = _hex_corpus(pts, res)
+
+    fres = min(12, res + HOT_RES_DELTA)
+    if hot_cap is not None and fres > res and (
+        n is None or n >= HOT_SPLIT_MIN_ROWS
+    ):
+        # two-level split mirroring knn_join: hex cells whose occupancy
+        # exceeds the cap re-run the schedule at the finer hex level
+        occ = corpus.groupBy("nqb", "nrb").agg(F.count(F.lit(1)).alias("_occ"))
+        hot_cells = occ.where(F.col("_occ") > hot_cap).select(
+            F.col("nqb").alias("qbin"), F.col("nrb").alias("rbin")
+        )
+        q_sparse = indexed.join(
+            F.broadcast(hot_cells), ["qbin", "rbin"], "left_anti"
+        )
+        q_hot = indexed.join(
+            F.broadcast(hot_cells), ["qbin", "rbin"], "left_semi"
+        ).drop("qbin", "rbin")
+        acc_s, un_s = _ring_phases_hex(spark, q_sparse, corpus, res, rings, k)
+        q_hot_f = q_hot.withColumn("qbin", _hex_qbin(fres)).withColumn(
+            "rbin", _hex_rbin(fres)
+        )
+        corpus_f = _hex_corpus(pts, fres)
+        acc_h, un_h = _ring_phases_hex(spark, q_hot_f, corpus_f, fres, rings, k)
+        accepted = (
+            acc_s.unionByName(acc_h)
+            if acc_s is not None and acc_h is not None
+            else (acc_s if acc_s is not None else acc_h)
+        )
+        cols = ["key", "lat", "lon"]
+        unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
+    else:
+        accepted, unresolved = _ring_phases_hex(
+            spark, indexed, corpus, res, rings, k
+        )
 
     q = unresolved.select(
         F.col("key").alias("qkey"),

@@ -381,14 +381,12 @@ def knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_KNN_BUCKETS = 16
 
 
-def _knn_corpus_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+def _knn_corpus_table(spark: SparkSession, sf_dir: str, res: int) -> str:
     import os as _os
     import re as _re
 
     from raster_processor_spark.sources.snapshots import bucketed_table
 
-    n = knn_op.parquet_row_count(f"{sf_dir}/documents.parquet")
-    res = knn_op.density_res(n)
     base = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(_os.path.normpath(sf_dir)))
     root = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
@@ -399,19 +397,32 @@ def _knn_corpus_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
         return knn_op.indexed_corpus(pts, res)
 
-    tbl = bucketed_table(
+    return bucketed_table(
         spark, f"rps_knncorpus_{base}_r{res}",
         _os.path.join(root, f"knn_r{res}"),
         build, "cell", N_KNN_BUCKETS,
     )
-    return tbl, res
 
 
 @q("knn_bucketed", knn_op.knn_sql(DOC_PTS_SQL, KNN_K))
 def knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
-    tbl, res = _knn_corpus_table(spark, sf_dir)
-    return knn_op.knn_join(pts, KNN_K, res=res, corpus_table=tbl)
+    n = knn_op.parquet_row_count(f"{sf_dir}/documents.parquet")
+    res = knn_op.density_res(n)
+    tbl = _knn_corpus_table(spark, sf_dir, res)
+    # both quadtree levels committed as bucketed layouts, so the hot-cell
+    # branch's candidate join is exchange-free on the corpus side too;
+    # the fine layout only exists where the split engages (see
+    # knn.HOT_SPLIT_MIN_ROWS)
+    fres = min(12, res + knn_op.HOT_RES_DELTA)
+    tbl_f = (
+        _knn_corpus_table(spark, sf_dir, fres)
+        if fres > res and n >= knn_op.HOT_SPLIT_MIN_ROWS
+        else None
+    )
+    return knn_op.knn_join(
+        pts, KNN_K, res=res, n_hint=n, corpus_table=tbl, corpus_table_fine=tbl_f
+    )
 
 
 # ====================================================================== A6 ===

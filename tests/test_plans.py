@@ -177,6 +177,34 @@ def test_knn_hex_matches_quad_knn_exactly(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_hot_cell_split_is_exact_on_skewed_corpus(spark):
+    # the two-level quadtree split (hot cells re-run at a finer res) must
+    # change the PLAN only, never the result: compare split-on vs split-off
+    # on a corpus above the gate with a dense blob (7.5% of points in a
+    # 0.2-degree cluster — one hot cell at the density-chosen res)
+    from collections import Counter
+
+    from raster_processor_spark.operators import knn as knn_op
+
+    n = knn_op.HOT_SPLIT_MIN_ROWS + 4000
+    hot = F.pmod(F.col("id"), F.lit(40)) < 3
+    jit = lambda a: (F.pmod(F.col("id") * a, F.lit(2000)) - 1000) / 10000.0  # noqa: E731
+    pts = spark.range(n).select(
+        F.col("id").alias("key"),
+        F.when(hot, 10.5 + jit(2654435761)).otherwise(
+            F.pmod(F.col("id") * 48611, F.lit(1600)) / 10.0 - 80.0
+        ).alias("lat"),
+        F.when(hot, 21.0 + jit(2246822519)).otherwise(
+            F.pmod(F.col("id") * 104729, F.lit(3200)) / 10.0 - 160.0
+        ).alias("lon"),
+    )
+    a = Counter(map(tuple, knn_op.knn_join(pts, 3, n_hint=n).collect()))
+    b = Counter(
+        map(tuple, knn_op.knn_join(pts, 3, n_hint=n, hot_cap=None).collect())
+    )
+    assert a == b and sum(a.values()) == 3 * n
+
+
 def test_knn_bucketed_matches_quad_knn_exactly(spark):
     # the storage-layout twin must produce the identical exact kNN result
     from raster_processor_spark.queries import REGISTRY as R
