@@ -439,14 +439,17 @@ def knn_hex_join(
     pts = points.select("key", "lat", "lon")
     if res is None:
         n = n_hint if n_hint is not None else pts.count()
-        # ~0.6 points per hex cell NOMINALLY — then one level finer: the
-        # fixture's points cluster in bands, so the occupancy of OCCUPIED
-        # cells runs ~4x the global average, and hex cells are 2.6x the
-        # area of quad cells at equal res (measured at sf1: res+1 halves
-        # the ring-3 candidate volume while the ring schedule still
-        # resolves >99% of sparse queries in the first phase)
+        # ~0.6 points per hex cell NOMINALLY — then one level finer once
+        # the corpus is large: points cluster in bands, so the occupancy
+        # of OCCUPIED cells runs ~4x the global average, and hex cells are
+        # 2.6x the area of quad cells at equal res (measured at the 10x
+        # scale point: res+1 halves the ring-3 candidate volume while the
+        # ring schedule still resolves >99% of sparse queries in the first
+        # phase). Below the gate the coarser grid's candidate volume is
+        # already small and the finer grid only adds unresolved stragglers.
         s_target = math.sqrt(64800.0 * 0.6 / (2.598 * max(n, 16)))
-        res = max(2, min(12, round(math.log2(180.0 / s_target)) + 1))
+        bump = 1 if n >= HOT_SPLIT_MIN_ROWS else 0
+        res = max(2, min(12, round(math.log2(180.0 / s_target)) + bump))
     else:
         n = n_hint
     indexed = pts.withColumn("qbin", _hex_qbin(res)).withColumn(
