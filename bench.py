@@ -64,6 +64,7 @@ HEADLINE = [
     # round-5 additions
     "knn_bucketed",
     "top_sources",
+    "zonal_stats_weighted_dist",
 ]
 
 

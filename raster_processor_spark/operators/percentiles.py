@@ -97,6 +97,110 @@ FROM (
 """
 
 
+# The one outstanding persisted range-partitioned input (bounded at a
+# single entry — same session-hygiene pattern as text._RANGED_CACHE).
+_RANGED_CACHE: list[DataFrame] = []
+
+
+def weighted_percentile_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    weight: Column,
+    key: Column,
+    q: float,
+    out_name: str,
+    extra_aggs: dict[str, Column] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The same weighted percentile WITHOUT a per-group single-task sort.
+
+    weighted_percentile_agg's window (partitionBy(group) orderBy(value))
+    sorts an ENTIRE group in one task — with a handful of zonal regions
+    over a 100 TB fact table that is billions of rows per task. This form
+    decomposes the cumsum the way text.distributed_rank_cut decomposes
+    the rank:
+
+      1. range-partition on (group, value, key) — a group's rows land in
+         contiguous pids, sorted across partitions by construction; the
+         pid is captured BEFORE any window so correctness never depends
+         on where later shuffles move rows;
+      2. local weight-cumsum within (pid, group) — no task ever sorts
+         more than one range partition;
+      3. global cumsum = local + Σ earlier-pid weight sums (the offset
+         table is P x |groups| rows — broadcast); totals likewise;
+      4. bracket + interpolate exactly as the windowed form.
+
+    Bit-exactness needs the module's existing precondition — INTEGER-
+    VALUED weights: every partial sum is then an exact integer in double,
+    so local-plus-offset equals the sequential window cumsum bit-for-bit
+    and this form shares the windowed form's DuckDB oracle verbatim."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.withColumn("_v", value)
+        .withColumn("_w", weight)
+        .withColumn("_k", key)
+    )
+    while _RANGED_CACHE:
+        _RANGED_CACHE.pop().unpersist()
+    ranged = (
+        d.repartitionByRange(p, *group_cols, "_v", "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _RANGED_CACHE.append(ranged)
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy("_v", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged.withColumn("_lcw", F.sum("_w").over(w_local))
+    counts = ranged.groupBy("_pid", *group_cols).agg(F.sum("_w").alias("_pw"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_pw").over(w_off), F.lit(0.0)).alias("_off"),
+    )
+    totals = counts.groupBy(*group_cols).agg(F.sum("_pw").alias("_tot"))
+    ranked = (
+        loc.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(F.broadcast(totals), group_cols)
+        .withColumn(
+            "_p",
+            (F.col("_lcw") + F.col("_off") - 0.5 * F.col("_w"))
+            / F.col("_tot"),
+        )
+    )
+    below = F.when(
+        F.col("_p") <= q,
+        F.struct(F.col("_p").alias("_p"), F.col("_v").alias("_v")),
+    )
+    above = F.when(
+        F.col("_p") > q,
+        F.struct(F.col("_p").alias("_p"), F.col("_v").alias("_v")),
+    )
+    aggs = [F.max(below).alias("_lo"), F.min(above).alias("_hi")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    g = ranked.groupBy(*group_cols).agg(*aggs)
+    p0, v0 = F.col("_lo._p"), F.col("_lo._v")
+    p1, v1 = F.col("_hi._p"), F.col("_hi._v")
+    interp = (
+        F.when(F.col("_lo").isNull(), v1)
+        .when(F.col("_hi").isNull(), v0)
+        .otherwise(v0 + (v1 - v0) * (F.lit(float(q)) - p0) / (p1 - p0))
+    )
+    out_cols = [F.col(c) for c in group_cols]
+    out_cols += [F.col(n) for n in (extra_aggs or {}).keys()]
+    return g.select(*out_cols, interp.alias(out_name))
+
+
 def weighted_percentiles_fused(
     df: DataFrame,
     group_cols: list[str],

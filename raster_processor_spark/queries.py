@@ -1556,17 +1556,12 @@ def _zsw_oracle() -> str:
     )
 
 
-@q("zonal_stats_weighted", _zsw_oracle())
-def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-region weighted mean + totals + weighted e68 in one shuffle after
-    the PIP join (the PIP candidate/refine runs ONCE; was twice)."""
-    from raster_processor_spark.operators import percentiles as pctl
-
+def _zsw_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pixc_points_unique(spark, sf_dir)
     pip = sj.point_in_polygon_join(
         pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("ukey")
     ).withColumnRenamed("key", "ukey")
-    src = pip.join(pts, "ukey").select(
+    return pip.join(pts, "ukey").select(
         F.col("ukey").alias("key"),
         "poly_id",
         "height",
@@ -1574,17 +1569,53 @@ def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pixel_area",
         (F.col("height") - F.col("pixel_area") / 5.0).alias("e"),
     )
+
+
+_ZSW_EXTRA_AGGS = {
+    "n_points": lambda: F.count(F.lit(1)),
+    "wse_wmean": lambda: F.round(
+        F.sum(F.col("_w") * F.col("height")) / F.sum("_w"), 6
+    ),
+    "area_total": lambda: F.round(F.sum("pixel_area"), 6),
+}
+
+
+@q("zonal_stats_weighted", _zsw_oracle())
+def zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region weighted mean + totals + weighted e68 in one shuffle after
+    the PIP join (the PIP candidate/refine runs ONCE; was twice)."""
+    from raster_processor_spark.operators import percentiles as pctl
+
     return pctl.weighted_percentiles_fused(
-        src,
+        _zsw_src(spark, sf_dir),
         ["poly_id"],
         F.col("height_w"),
         F.col("key"),
         [(F.abs(F.col("e")), 0.68, "abs_e68_w")],
-        extra_aggs={
-            "n_points": F.count(F.lit(1)),
-            "wse_wmean": F.round(F.sum(F.col("_w") * F.col("height")) / F.sum("_w"), 6),
-            "area_total": F.round(F.sum("pixel_area"), 6),
-        },
+        extra_aggs={n: f() for n, f in _ZSW_EXTRA_AGGS.items()},
+    ).select("poly_id", "n_points", "wse_wmean", "area_total", "abs_e68_w")
+
+
+# the scale twin: identical output and THE SAME oracle (integer weights
+# make the range-partitioned cumsum decomposition bit-exact), but no
+# per-region single-task sort — with a handful of zonal regions over a
+# 100 TB fact table, the windowed form's partitionBy(poly_id) sort is the
+# component that breaks first (billions of rows in one task); this form's
+# largest task is one range partition (operators/percentiles.py
+# weighted_percentile_distributed)
+@q("zonal_stats_weighted_dist", _zsw_oracle())
+def zonal_stats_weighted_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_processor_spark.operators import percentiles as pctl
+
+    return pctl.weighted_percentile_distributed(
+        _zsw_src(spark, sf_dir),
+        ["poly_id"],
+        F.abs(F.col("e")),
+        F.col("height_w"),
+        F.col("key"),
+        0.68,
+        "abs_e68_w",
+        extra_aggs={n: f() for n, f in _ZSW_EXTRA_AGGS.items()},
     ).select("poly_id", "n_points", "wse_wmean", "area_total", "abs_e68_w")
 
 

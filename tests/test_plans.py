@@ -236,6 +236,19 @@ def test_knn_bucketed_corpus_scan_is_bucket_aligned(spark):
     )
 
 
+def test_zsw_dist_matches_windowed_and_bounds_tasks(spark):
+    # the distributed weighted percentile must (a) equal the windowed form
+    # bit-for-bit and (b) run its cumsum window partitioned by
+    # (range-partition id, group) — never by the group alone, which would
+    # sort a whole region in one task at scale
+    a = sorted(map(tuple, REGISTRY["zonal_stats_weighted"].spark(spark, SF_ORACLE).collect()))
+    df = REGISTRY["zonal_stats_weighted_dist"].spark(spark, SF_ORACLE)
+    b = sorted(map(tuple, df.collect()))
+    assert a == b and len(a) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan, plan[:1500]
+
+
 def test_bucketed_compare_join_is_exchange_free(spark):
     # both sides are bucketed+sorted on cell_id at write time, so the
     # full-outer SMJ must run with ZERO Exchange nodes — the write-time
