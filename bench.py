@@ -109,8 +109,13 @@ def main() -> None:
         # drop intra-query persist()/cache() leftovers so the warm pass
         # measures a full fresh computation (not a CacheManager canonical-
         # plan hit) and queries don't pay GC pressure for earlier queries'
-        # cached RDDs
+        # cached RDDs. The forced GC lets ContextCleaner reclaim the COLD
+        # pass's shuffle files / broadcasts before the warm pass runs —
+        # without it the warm pass of a heavy query pays the cold pass's
+        # accumulated block-manager state (measured up to 2x on the
+        # shuffle-heaviest query at the 10x scale point). Untimed.
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)

@@ -144,6 +144,21 @@ def weighted_percentile_distributed(
     )
     while _RANGED_CACHE:
         _RANGED_CACHE.pop().unpersist()
+    # persist the INPUT too: repartitionByRange runs a sampling job over
+    # its child to pick range bounds, which would re-execute an expensive
+    # upstream (here typically a PIP join) a second time; and
+    # spark_partition_id below is nondeterministic to Catalyst, blocking
+    # exchange reuse for the ranged side's two consumers (the rank-cut
+    # lesson). At cluster scale both persists are where checkpoints of
+    # the joined fact slice belong anyway.
+    d = d.persist()
+    _RANGED_CACHE.append(d)
+    # materialize it EAGERLY: the sampling job and the broadcast-subtree
+    # jobs (offsets/totals) are submitted concurrently by Spark, and an
+    # unpopulated cache lets them race to compute the expensive input
+    # several times in parallel (measured: 2-3 duplicate PIP executions
+    # per pass at the 6M-point scale)
+    d.count()
     ranged = (
         d.repartitionByRange(p, *group_cols, "_v", "_k")
         .withColumn("_pid", F.spark_partition_id())

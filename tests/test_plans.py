@@ -236,6 +236,24 @@ def test_knn_bucketed_corpus_scan_is_bucket_aligned(spark):
     )
 
 
+def test_ranged_persist_caches_stay_bounded_across_invocations(spark):
+    # the range-partitioned persists (rank cut, distributed percentile)
+    # must release the previous invocation's cache — a long driver sweep
+    # holds at most ONE cached corpus per operator family (the round-3
+    # session-amplification class)
+    from raster_processor_spark.operators import percentiles as pctl
+    from raster_processor_spark.operators import text as tx
+    from raster_processor_spark.queries import REGISTRY
+
+    for _ in range(3):
+        REGISTRY["quality_filter"].spark(spark, SF_ORACLE).count()
+    assert len(tx._RANGED_CACHE) == 1
+    for _ in range(2):
+        REGISTRY["zonal_stats_weighted_dist"].spark(spark, SF_ORACLE).count()
+    # one input persist + one ranged persist, for the LAST invocation only
+    assert len(pctl._RANGED_CACHE) == 2
+
+
 def test_zsw_dist_matches_windowed_and_bounds_tasks(spark):
     # the distributed weighted percentile must (a) equal the windowed form
     # bit-for-bit and (b) run its cumsum window partitioned by
