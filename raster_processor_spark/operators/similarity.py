@@ -525,6 +525,67 @@ def _srp_buckets_udf():
     return _buckets
 
 
+def _block_scored_pairs(
+    qdf: DataFrame, ndf: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Cogrouped vectorized candidate scoring shared by the bucketed ANN
+    families: for each bucket key, the (queries x members) cosine block is
+    ONE numpy matrix op with the fold-exact sequence, and each embedding
+    crosses the Arrow boundary once per bucket instead of once per pair
+    (a per-pair expression — HOF fold or unrolled — evaluates the 64-dim
+    fold millions of times and falls out of efficient codegen; measured
+    4-9x slower at the 10x scale point).
+
+    The cogroup key is a COARSE hash of the bucket key (a few chunks per
+    core), with the exact per-bucket blocks formed by a pandas groupby
+    inside the chunk: cogrouping directly on the bucket key spawns one
+    Arrow/pandas round-trip per bucket, and with thousands of near-empty
+    buckets that per-group overhead dominated (measured 2x at sf0.1 for
+    the SRP family). qdf: (key_cols..., query_id, qe); ndf: (key_cols...,
+    neighbor_id, ne) → (query_id, neighbor_id, cosine) with self-pairs
+    dropped; callers dedup collisions across buckets (the duplicates
+    carry bit-identical cosines)."""
+    schema = "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    coarse = qdf.sparkSession.sparkContext.defaultParallelism * 4
+    kc = [F.col(c) for c in key_cols]
+    qg = qdf.withColumn("_g", F.pmod(F.xxhash64(*kc), F.lit(coarse)))
+    ng = ndf.withColumn("_g", F.pmod(F.xxhash64(*kc), F.lit(coarse)))
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+
+    def block(qpdf, cpdf):
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
+        nids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        nm = np.stack(cpdf["ne"].to_numpy()).astype(np.float64)
+        cos = _seq_dot(qm, nm) / (
+            np.sqrt(_seq_norm2(qm))[:, None] * np.sqrt(_seq_norm2(nm))[None, :]
+        )
+        qq = np.repeat(qids, len(nids))
+        nn = np.tile(nids, len(qids))
+        mask = qq != nn
+        return pd.DataFrame(
+            {"query_id": qq[mask], "neighbor_id": nn[mask],
+             "cosine": cos.ravel()[mask]}
+        )
+
+    def score(key, qpdf, cpdf):
+        if qpdf.empty or cpdf.empty:
+            return empty
+        nsubs = dict(iter(cpdf.groupby(key_cols, sort=False)))
+        out = []
+        for kk, qsub in qpdf.groupby(key_cols, sort=False):
+            csub = nsubs.get(kk)
+            if csub is not None:
+                out.append(block(qsub, csub))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        qg.groupBy("_g")
+        .cogroup(ng.groupBy("_g"))
+        .applyInPandas(score, schema)
+    )
+
+
 def ann_srp_topk(
     spark: SparkSession, sf_dir: str, k: int, query_mod: int
 ) -> DataFrame:
@@ -551,12 +612,11 @@ def ann_srp_topk(
         F.col("embedding").alias("ne"),
         "band", "bucket",
     )
-    cand = qs.join(ns, ["band", "bucket"]).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cand.withColumn(
-        "cosine", F.expr(cosine_expr("qe", "ne"))
-    ).select("query_id", "neighbor_id", "cosine").distinct()
+    scored = _block_scored_pairs(
+        qs.select("band", "bucket", "query_id", "qe"),
+        ns.select("band", "bucket", "neighbor_id", "ne"),
+        ["band", "bucket"],
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -889,47 +949,19 @@ def ann_ivf_topk(
     qp = qs.withColumn(
         "cluster", F.explode(_topn_cid_udf(bc, nprobe)(F.col("qe")))
     )
-    # Scoring is COGROUPED BY CLUSTER and vectorized (mirrors
-    # ann_brute_topk's slice scorer): each probing query's and posting's
-    # embedding crosses the Arrow boundary ONCE PER CLUSTER and the
-    # (queries x postings) cosine block is one numpy matrix op with the
-    # fold-exact sequence. The alternative — a row-per-candidate-pair
-    # expression — evaluates the 64-dim fold per PAIR (spill x nprobe x
-    # postings rows): measured 28 s vs ~4 s at the 20k-vector scale point,
-    # whether the fold is a Catalyst higher-order function or a 384-term
-    # unrolled expression (both fall out of efficient codegen). At larger
-    # scale a hot cluster's cogroup task is bounded by salting the cluster
-    # key on both sides.
-    schema = "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
-
-    def score_cluster(key, qpdf, cpdf):
-        if qpdf.empty or cpdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-        qm = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
-        nids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
-        nm = np.stack(cpdf["ne"].to_numpy()).astype(np.float64)
-        cos = _seq_dot(qm, nm) / (
-            np.sqrt(_seq_norm2(qm))[:, None] * np.sqrt(_seq_norm2(nm))[None, :]
-        )
-        qq = np.repeat(qids, len(nids))
-        nn = np.tile(nids, len(qids))
-        mask = qq != nn
-        return pd.DataFrame(
-            {"query_id": qq[mask], "neighbor_id": nn[mask],
-             "cosine": cos.ravel()[mask]}
-        )
-
-    # spill means a (query, neighbor) pair can collide in several probed
-    # clusters — the duplicates carry bit-identical cosines (same two
-    # vectors, same op order in every group), so dedup the SCALAR rows
-    scored = (
-        qp.select("cluster", "query_id", "qe")
-        .groupBy("cluster")
-        .cogroup(corpus.select("cluster", "neighbor_id", "ne").groupBy("cluster"))
-        .applyInPandas(score_cluster, schema)
-        .distinct()
-    )
+    # Scoring is COGROUPED BY CLUSTER and vectorized (_block_scored_pairs,
+    # shared with the SRP family; measured 28 s -> ~3 s vs per-pair
+    # expression scoring at the 20k-vector scale point). At larger scale a
+    # hot cluster's cogroup task is bounded by salting the cluster key on
+    # both sides. spill means a (query, neighbor) pair can collide in
+    # several probed clusters — the duplicates carry bit-identical cosines
+    # (same two vectors, same op order in every group), so dedup the
+    # SCALAR rows after scoring.
+    scored = _block_scored_pairs(
+        qp.select("cluster", "query_id", "qe"),
+        corpus.select("cluster", "neighbor_id", "ne"),
+        ["cluster"],
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
