@@ -347,6 +347,14 @@ def _hex_corpus(points: DataFrame, res: int) -> DataFrame:
     )
 
 
+# composite single-column hex cell id: axial coords are bounded by the
+# lon/lat extents over the smallest cell size (res 12 → |q|,|r| < 2^13),
+# so (q + 2^19) * 2^20 + (r + 2^19) is collision-free and keeps the
+# candidate equi-join on ONE long key (same shape as the quad path)
+_HEX_OFF = 1 << 19
+_HEX_MUL = 1 << 20
+
+
 def _ring_phases_hex(
     spark, queries, corpus, res: int, rings: tuple[int, ...], k: int
 ):
@@ -355,6 +363,10 @@ def _ring_phases_hex(
     from raster_processor_spark import cellindex as ci_mod
 
     s = 180.0 / (1 << res)
+    corpus_k = corpus.select(
+        "nkey", "nlat", "nlon",
+        ((F.col("nqb") + _HEX_OFF) * _HEX_MUL + F.col("nrb") + _HEX_OFF).alias("cell"),
+    )
     unresolved = queries
     accepted: DataFrame | None = None
     for ring in rings:
@@ -372,11 +384,13 @@ def _ring_phases_hex(
             q.crossJoin(F.broadcast(offs))
             .select(
                 "qkey", "qlat", "qlon",
-                (F.col("qbin") + F.col("dq")).alias("nqb"),
-                (F.col("rbin") + F.col("dr")).alias("nrb"),
+                (
+                    (F.col("qbin") + F.col("dq") + _HEX_OFF) * _HEX_MUL
+                    + F.col("rbin") + F.col("dr") + _HEX_OFF
+                ).alias("cell"),
             )
         )
-        cand = probes.join(corpus, ["nqb", "nrb"], "inner").where(
+        cand = probes.join(corpus_k, ["cell"], "inner").where(
             F.col("qkey") != F.col("nkey")
         )
         dx = F.col("nlon") - F.col("qlon")
