@@ -38,6 +38,10 @@ _SAMPLE_FIRST = [
     "zonal_stats_weighted",
     "training_corpus",
     "regeoloc",
+    # round-5 additions — no driver CORRECTNESS row yet
+    "top_sources",
+    "knn_bucketed",
+    "zonal_stats_weighted_dist",
 ]
 
 
