@@ -157,7 +157,9 @@ def burn_flags(spark: SparkSession, n_polys: int) -> DataFrame:
         F.max(F.when(F.pmod(F.col("poly_id"), F.lit(2)) == 1, 1).otherwise(0)).alias("cw"),
     )
     g = grid_df(spark).select("cell_id")
-    j = g.join(per_cell, "cell_id", "left").select(
+    # the burned per-cell table is bounded by the grid size (2^15 rows at
+    # res 7) — broadcast it so densification never shuffles the dense grid
+    j = g.join(F.broadcast(per_cell), "cell_id", "left").select(
         "cell_id",
         F.coalesce(F.col("cd"), F.lit(0)).alias("cd"),
         F.coalesce(F.col("cw"), F.lit(0)).alias("cw"),

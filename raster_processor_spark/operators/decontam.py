@@ -64,33 +64,51 @@ def decontaminate(
     eval_sh = sh.where(is_eval)
     corpus_sh = sh.where(~is_eval)
     if exact:
-        hits = corpus_sh.join(
-            F.broadcast(eval_sh.select("sid").distinct()), "sid", "left_semi"
+        probed = corpus_sh.join(
+            F.broadcast(
+                eval_sh.select("sid").distinct().withColumn("_h0", F.lit(1))
+            ),
+            "sid",
+            "left",
         )
+        hit = F.col("_h0").isNotNull()
     else:
+        # ONE corpus-shingle pass: the round-5 form consumed corpus_sh twice
+        # (semi-joined hit rows + a separate totals aggregate, re-running the
+        # tokenize/hash front-end) and joined the two aggregates back
+        # together. Keeping the probes as broadcast LEFT joins with a marker
+        # column turns "hit" into a flag on the SAME stream, so shingle
+        # count and hit count come out of a single groupBy — the corpus is
+        # scanned and hashed exactly once and the final left join vanishes.
+        # Identical output: occ is distinct, so each left join matches at
+        # most once and the marker conjunction equals the two semi-joins.
         occ = None
         ev = eval_sh.select(*_positions(F.col("sid")))
         for i in range(len(BLOOM_HASHES)):
             p = ev.select(F.col(f"pos{i}").alias("pos"))
             occ = p if occ is None else occ.unionByName(p)
         occ = occ.distinct()
-        probed = corpus_sh.select("doc_id", "sid", *_positions(F.col("sid")))
-        hits = probed
+        probed = corpus_sh.select("doc_id", *_positions(F.col("sid")))
         for i in range(len(BLOOM_HASHES)):
-            hits = hits.join(
-                F.broadcast(occ.withColumnRenamed("pos", f"pos{i}")),
+            probed = probed.join(
+                F.broadcast(
+                    occ.select(
+                        F.col("pos").alias(f"pos{i}"),
+                        F.lit(1).alias(f"_h{i}"),
+                    )
+                ),
                 f"pos{i}",
-                "left_semi",
+                "left",
             )
-    per_doc_hits = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    totals = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    return totals.join(per_doc_hits, "doc_id", "left").select(
+        hit = F.col("_h0").isNotNull() & F.col("_h1").isNotNull()
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"),
+    ).select(
         "doc_id",
         "n_shingles",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        "n_hits",
+        (F.col("n_hits") > 0).alias("contaminated"),
     )
 
 

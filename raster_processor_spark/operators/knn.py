@@ -68,18 +68,26 @@ def density_res(n: int) -> int:
     return max(2, min(12, int(math.log2(max(n, 16) / 0.6) / 2)))
 
 
-def _quad_bin_cols(res: int):
-    """(ybin expr, xbin expr, ny, nx) — clamped lat rows, wrapped lon cols."""
+def _quad_bin_sqls(res: int) -> tuple[str, str, int, int]:
+    """(ybin sql, xbin sql, ny, nx) — clamped lat rows, wrapped lon cols,
+    as SQL strings (same double arithmetic as the round-5 Column builders;
+    string assembly is O(1) py4j calls per stage)."""
     ny, nx = 1 << res, 1 << (res + 1)
-    ybin = F.least(
-        F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * ny).cast("long"), F.lit(0)),
-        F.lit(ny - 1),
+    yb = (
+        f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0D) / 180.0D * {ny})"
+        f" AS BIGINT), 0L), {ny - 1}L)"
     )
-    xbin = F.least(
-        F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * nx).cast("long"), F.lit(0)),
-        F.lit(nx - 1),
+    xb = (
+        f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0D) / 360.0D * {nx})"
+        f" AS BIGINT), 0L), {nx - 1}L)"
     )
-    return ybin, xbin, ny, nx
+    return yb, xb, ny, nx
+
+
+def _quad_bin_cols(res: int):
+    """(ybin expr, xbin expr, ny, nx) — Column view of _quad_bin_sqls."""
+    yb, xb, ny, nx = _quad_bin_sqls(res)
+    return F.expr(yb), F.expr(xb), ny, nx
 
 
 def indexed_corpus(points: DataFrame, res: int) -> DataFrame:
@@ -88,12 +96,10 @@ def indexed_corpus(points: DataFrame, res: int) -> DataFrame:
     pair). This is the table a write-time bucketed layout commits ONCE per
     (corpus, res): every later kNN candidate join scans it bucket-aligned
     with zero Exchange on the corpus side (see knn_join corpus_table)."""
-    ybin, xbin, _ny, nx = _quad_bin_cols(res)
-    return points.select(
-        F.col("key").alias("nkey"),
-        F.col("lat").alias("nlat"),
-        F.col("lon").alias("nlon"),
-        (ybin * nx + xbin).alias("cell"),
+    yb, xb, _ny, nx = _quad_bin_sqls(res)
+    return points.selectExpr(
+        "key AS nkey", "lat AS nlat", "lon AS nlon",
+        f"({yb}) * {nx} + ({xb}) AS cell",
     )
 
 
@@ -129,53 +135,50 @@ def _ring_phases_quad(
     accepted: DataFrame | None = None
     for ring in rings:
         offs = _disk_offsets_df(spark, ring)
-        q = unresolved.select(
-            F.col("key").alias("qkey"),
-            F.col("lat").alias("qlat"),
-            F.col("lon").alias("qlon"),
-            "ybin",
-            "xbin",
+        # SQL-string plan assembly (one py4j call per stage instead of one
+        # per expression node — the dedup_simhash lesson; the parsed plan
+        # is identical) and EARLY projection: only (qkey, nkey, dist2)
+        # enter the rank window's exchange — the round-5 form shuffled
+        # qlat/qlon/nlat/nlon/cell through it as dead weight (guide §2.3).
+        q = unresolved.selectExpr(
+            "key AS qkey", "lat AS qlat", "lon AS qlon", "ybin", "xbin"
         )
         # explode the query side by disk offsets (lon wraps, lat clamps)
         probes = (
             q.crossJoin(F.broadcast(offs))
-            .withColumn("nyb", F.col("ybin") + F.col("dy"))
-            .withColumn("nxb", F.pmod(F.col("xbin") + F.col("dx"), F.lit(nx)))
-            .where((F.col("nyb") >= 0) & (F.col("nyb") < ny))
-            .select(
+            .selectExpr(
                 "qkey", "qlat", "qlon",
-                (F.col("nyb") * nx + F.col("nxb")).alias("cell"),
+                "ybin + dy AS nyb", f"pmod(xbin + dx, {nx}) AS nxb",
             )
+            .where(f"nyb >= 0 AND nyb < {ny}")
+            .selectExpr("qkey", "qlat", "qlon", f"nyb * {nx} + nxb AS cell")
         )
-        cand = probes.join(corpus_join, ["cell"], "inner").where(
-            F.col("qkey") != F.col("nkey")
+        cand = probes.join(corpus_join, ["cell"], "inner").where("qkey != nkey")
+        scored = cand.selectExpr(
+            "qkey", "nkey",
+            "(nlon - qlon) * (nlon - qlon) + (nlat - qlat) * (nlat - qlat)"
+            " AS dist2",
         )
-        dx = F.col("nlon") - F.col("qlon")
-        dy2 = F.col("nlat") - F.col("qlat")
-        scored = cand.withColumn("dist2", dx * dx + dy2 * dy2)
         # ONE shuffle: rank + count + kth-distance over the same partitioning
-        w_rank = Window.partitionBy("qkey").orderBy(
-            F.col("dist2").asc(), F.col("nkey").asc()
-        )
-        w_all = Window.partitionBy("qkey")
         limit = (ring * s) * (ring * s)
-        ranked = (
-            scored.withColumn("rank", F.row_number().over(w_rank))
-            .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
-            .withColumn(
-                "_kth",
-                F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all),
-            )
-            .withColumn("_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit))
+        ranked = scored.selectExpr(
+            "qkey", "nkey", "dist2",
+            "row_number() OVER (PARTITION BY qkey"
+            " ORDER BY dist2 ASC, nkey ASC) AS rank",
+            "count(1) OVER (PARTITION BY qkey) AS _cnt",
+        ).selectExpr(
+            "qkey", "nkey", "dist2", "rank", "_cnt",
+            f"max(CASE WHEN rank <= {k} THEN dist2 END)"
+            " OVER (PARTITION BY qkey) AS _kth",
         )
         # the accepted set is referenced twice in the final plan — once in
         # the output union and once to derive the next phase's unresolved
         # anti-join; both consumers sit on the same candidate-join Exchange,
         # which Spark reuses (ReusedExchange), so only the cheap window
         # re-runs per consumer — no persist, no session-lifetime cache state
-        got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
-            "qkey", "nkey", "dist2", "rank"
-        )
+        got = ranked.where(
+            f"_cnt >= {k} AND _kth < {limit!r}D AND rank <= {k}"
+        ).select("qkey", "nkey", "dist2", "rank")
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
@@ -305,36 +308,46 @@ def knn_join(
     )
 
 
+def _hex_bin_sqls(res: int) -> tuple[str, str]:
+    """(qbin, rbin) cube-rounded axial hex bin expressions as SQL strings —
+    the same double arithmetic the round-5 Column builders produced, but
+    assembled with O(1) py4j calls (the dedup_simhash lesson) and parsed
+    JVM-side. Codegen's subexpression elimination dedupes the textual
+    repetition of qf/rf exactly as it deduped the shared Column nodes.
+
+    Nearest-integer via FLOOR(+0.5), not ROUND: round() allocates a
+    BigDecimal per value; the tie-break difference (half-away-from-zero vs
+    half-up) is explicitly irrelevant here — cube rounding is exact under
+    ANY tie-break, and both join sides use these same expressions."""
+    s = repr(180.0 / (1 << res))
+    s3 = repr(float(math.sqrt(3.0) / 3.0))
+    two3 = repr(2.0 / 3.0)
+    qf = f"(({s3}D * lon - lat / 3.0D) / {s}D)"
+    rf = f"((lat * {two3}D) / {s}D)"
+    sf = f"(-{qf} - {rf})"
+    q0 = f"CAST(FLOOR({qf} + 0.5D) AS DOUBLE)"
+    r0 = f"CAST(FLOOR({rf} + 0.5D) AS DOUBLE)"
+    s0 = f"CAST(FLOOR({sf} + 0.5D) AS DOUBLE)"
+    dq, dr, ds = (
+        f"ABS({q0} - {qf})", f"ABS({r0} - {rf})", f"ABS({s0} - {sf})"
+    )
+    fix_q = f"({dq} > {dr} AND {dq} > {ds})"
+    fix_r = f"((NOT {fix_q}) AND {dr} > {ds})"
+    qbin = f"CAST(CASE WHEN {fix_q} THEN -{r0} - {s0} ELSE {q0} END AS BIGINT)"
+    rbin = f"CAST(CASE WHEN {fix_r} THEN -{q0} - {s0} ELSE {r0} END AS BIGINT)"
+    return qbin, rbin
+
+
 def _hex_qbin(res: int):
     """Axial q of the cube-rounded hex cell as a pure codegen column (no
     UDF: the indexed table feeds every ring phase on both sides, so an
     Arrow stage here would run several times per query — measured 3x
-    slower). Rounding tie-break (JVM HALF_UP vs numpy half-even in
-    cellindex.hex_axial) is irrelevant to correctness: cube rounding
-    assigns the nearest hex center under ANY tie-break, which is all the
-    resolve bound needs."""
-    s = 180.0 / (1 << res)
-    sqrt3_3 = float(math.sqrt(3.0) / 3.0)
-    qf = (F.lit(sqrt3_3) * F.col("lon") - F.col("lat") / 3.0) / F.lit(s)
-    rf = (F.col("lat") * (2.0 / 3.0)) / F.lit(s)
-    sfv = -qf - rf
-    q0, r0, s0 = F.round(qf), F.round(rf), F.round(sfv)
-    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sfv)
-    fix_q = (dq > dr) & (dq > ds)
-    return F.when(fix_q, -r0 - s0).otherwise(q0).cast("long")
+    slower). See _hex_bin_sqls for the arithmetic and tie-break notes."""
+    return F.expr(_hex_bin_sqls(res)[0])
 
 
 def _hex_rbin(res: int):
-    s = 180.0 / (1 << res)
-    sqrt3_3 = float(math.sqrt(3.0) / 3.0)
-    qf = (F.lit(sqrt3_3) * F.col("lon") - F.col("lat") / 3.0) / F.lit(s)
-    rf = (F.col("lat") * (2.0 / 3.0)) / F.lit(s)
-    sfv = -qf - rf
-    q0, r0, s0 = F.round(qf), F.round(rf), F.round(sfv)
-    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sfv)
-    fix_q = (dq > dr) & (dq > ds)
-    fix_r = (~fix_q) & (dr > ds)
-    return F.when(fix_r, -q0 - s0).otherwise(r0).cast("long")
+    return F.expr(_hex_bin_sqls(res)[1])
 
 
 def _hex_corpus(points: DataFrame, res: int) -> DataFrame:
@@ -363,9 +376,9 @@ def _ring_phases_hex(
     from raster_processor_spark import cellindex as ci_mod
 
     s = 180.0 / (1 << res)
-    corpus_k = corpus.select(
+    corpus_k = corpus.selectExpr(
         "nkey", "nlat", "nlon",
-        ((F.col("nqb") + _HEX_OFF) * _HEX_MUL + F.col("nrb") + _HEX_OFF).alias("cell"),
+        f"(nqb + {_HEX_OFF}) * {_HEX_MUL} + nrb + {_HEX_OFF} AS cell",
     )
     unresolved = queries
     accepted: DataFrame | None = None
@@ -374,46 +387,38 @@ def _ring_phases_hex(
             [(int(dq), int(dr)) for dq, dr in ci_mod.hex_disk_offsets(ring)],
             "dq BIGINT, dr BIGINT",
         )
-        q = unresolved.select(
-            F.col("key").alias("qkey"),
-            F.col("lat").alias("qlat"),
-            F.col("lon").alias("qlon"),
-            "qbin", "rbin",
+        # SQL-string stages + early projection, mirroring _ring_phases_quad
+        # (same plan, ~1 py4j call per stage, and only (qkey, nkey, dist2)
+        # cross the rank window's exchange)
+        q = unresolved.selectExpr(
+            "key AS qkey", "lat AS qlat", "lon AS qlon", "qbin", "rbin"
         )
-        probes = (
-            q.crossJoin(F.broadcast(offs))
-            .select(
-                "qkey", "qlat", "qlon",
-                (
-                    (F.col("qbin") + F.col("dq") + _HEX_OFF) * _HEX_MUL
-                    + F.col("rbin") + F.col("dr") + _HEX_OFF
-                ).alias("cell"),
-            )
+        probes = q.crossJoin(F.broadcast(offs)).selectExpr(
+            "qkey", "qlat", "qlon",
+            f"(qbin + dq + {_HEX_OFF}) * {_HEX_MUL}"
+            f" + rbin + dr + {_HEX_OFF} AS cell",
         )
-        cand = probes.join(corpus_k, ["cell"], "inner").where(
-            F.col("qkey") != F.col("nkey")
+        cand = probes.join(corpus_k, ["cell"], "inner").where("qkey != nkey")
+        scored = cand.selectExpr(
+            "qkey", "nkey",
+            "(nlon - qlon) * (nlon - qlon) + (nlat - qlat) * (nlat - qlat)"
+            " AS dist2",
         )
-        dx = F.col("nlon") - F.col("qlon")
-        dy2 = F.col("nlat") - F.col("qlat")
-        scored = cand.withColumn("dist2", dx * dx + dy2 * dy2)
-        w_rank = Window.partitionBy("qkey").orderBy(
-            F.col("dist2").asc(), F.col("nkey").asc()
-        )
-        w_all = Window.partitionBy("qkey")
         lim = (1.5 * (ring + 1) - 2.0) * s
         limit2 = lim * lim
-        ranked = (
-            scored.withColumn("rank", F.row_number().over(w_rank))
-            .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
-            .withColumn(
-                "_kth",
-                F.max(F.when(F.col("rank") <= k, F.col("dist2"))).over(w_all),
-            )
-            .withColumn("_ok", (F.col("_cnt") >= k) & (F.col("_kth") < limit2))
+        ranked = scored.selectExpr(
+            "qkey", "nkey", "dist2",
+            "row_number() OVER (PARTITION BY qkey"
+            " ORDER BY dist2 ASC, nkey ASC) AS rank",
+            "count(1) OVER (PARTITION BY qkey) AS _cnt",
+        ).selectExpr(
+            "qkey", "nkey", "dist2", "rank", "_cnt",
+            f"max(CASE WHEN rank <= {k} THEN dist2 END)"
+            " OVER (PARTITION BY qkey) AS _kth",
         )
-        got = ranked.where(F.col("_ok") & (F.col("rank") <= k)).select(
-            "qkey", "nkey", "dist2", "rank"
-        )
+        got = ranked.where(
+            f"_cnt >= {k} AND _kth < {limit2!r}D AND rank <= {k}"
+        ).select("qkey", "nkey", "dist2", "rank")
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")

@@ -99,17 +99,28 @@ def point_in_polygon_join(
     lat: Column,
     lon: Column,
     key: Column,
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """→ DataFrame(key, poly_id) of exact containment pairs, the engine's
-    join-output-rows contract (BASELINE.json north_rule)."""
+    """→ DataFrame(key, poly_id[, *keep]) of exact containment pairs, the
+    engine's join-output-rows contract (BASELINE.json north_rule).
+
+    ``keep`` threads payload columns of ``points`` through the candidate
+    join and the refine stage so consumers that need point attributes per
+    containment pair don't have to join the full fact table back on the
+    key afterwards (guide §3: that join re-shuffles the whole fact table
+    by a key that has nothing to do with the polygon layout). The refine
+    UDF still sees only (poly_id, lon, lat) — payload columns ride the
+    plan untouched."""
     spark = points.sparkSession
     cover = spark.createDataFrame(
         polygon_cover_cells(n_polys), "cover_cell BIGINT, poly_id BIGINT"
     )
+    keep = keep or []
     pts = points.select(
         key.alias("key"),
         lat.alias("lat"),
         lon.alias("lon"),
+        *[points[c] for c in keep],
     ).withColumn(
         "cover_cell",
         # tiny arithmetic → stay JVM-side for the candidate key
@@ -122,7 +133,7 @@ def point_in_polygon_join(
             "contained", refine(F.col("poly_id"), F.col("lon"), F.col("lat"))
         )
         .where(F.col("contained"))
-        .select("key", "poly_id")
+        .select("key", "poly_id", *keep)
     )
 
 

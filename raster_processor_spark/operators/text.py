@@ -84,24 +84,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint over hashed word-ids with cyclic
     position weights 31^(i mod 16) mod M — deterministic integer arithmetic
     (the windowed analogue of a content-defined rolling hash). Word ids are
-    per-token char hashes (dedup.word_id_expr): no vocab table, no global
-    window, the whole front-end is narrow. Each term is reduced mod M before
-    the SUM so the running sum stays < 2^51 (int64-safe in Spark)."""
-    from raster_processor_spark.operators.dedup import tokens, word_id_expr
+    per-token char hashes (dedup.word_id_expr) and the position-weighted
+    sum folds over the per-document word-id ARRAY — the whole query is one
+    narrow projection (no explode, no shuffle at all; the round-5 form
+    shuffled every token through a repartition + groupBy). Each term is
+    reduced mod M before the running sum, which stays < 2^51 per document
+    (int64-safe), so the result is bit-identical to the grouped SUM."""
+    from raster_processor_spark.operators.dedup import wid_array_col
 
-    tok = tokens(spark, sf_dir)
-    powers = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(FP_POWERS)], "imod INT, pw BIGINT"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", wid_array_col(F.col("text")).alias("_wids")
     )
-    tw = (
-        tok.select("doc_id", "i", word_id_expr(F.col("word")).alias("wid"))
-        .withColumn("imod", F.pmod(F.col("i"), F.lit(16)).cast("int"))
-        .join(F.broadcast(powers), "imod")
+    pw = F.array(*[F.lit(p).cast("long") for p in FP_POWERS])
+    terms = F.transform(
+        F.col("_wids"),
+        lambda w, i: F.pmod(
+            w * F.element_at(pw, F.pmod(i, F.lit(16)) + 1), F.lit(FP_MOD)
+        ),
     )
-    term = F.pmod(F.col("wid") * F.col("pw"), F.lit(FP_MOD))
-    return tw.groupBy("doc_id").agg(
-        F.pmod(F.sum(term), F.lit(FP_MOD)).alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    total = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.pmod(total, F.lit(FP_MOD)).alias("fingerprint"),
+        F.size("_wids").cast("long").alias("n_tokens"),
     )
 
 
@@ -283,28 +290,43 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark.operators.dedup import (
         MERSENNE31,
         SID_P,
-        tokens,
-        word_id_expr,
+        wid_array_col,
     )
 
-    tok = tokens(spark, sf_dir)
-    tw = tok.select("doc_id", "i", word_id_expr(F.col("word")).alias("wid"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("i")
-    gram = F.pmod(
-        F.col("wid") * F.lit(SID_P) + F.lead("wid", 1).over(w), F.lit(MERSENNE31)
+    # Narrow front-end: the 2-gram ids derive positionally from the
+    # per-document word-id ARRAY, so the tokenize → hash → pair pipeline is
+    # one projection — the round-5 form repartitioned every token and
+    # sorted each document in a lead() window first. The two partial-
+    # aggregated groupBys over the skinny (doc_id, gram) stream stay (a
+    # pure array fold was tried and is several times slower: higher-order
+    # lambdas are CodegenFallback, evaluated interpreted per element).
+    # Counts are the same exact integers, so the fractions are
+    # bit-identical.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", wid_array_col(F.col("text")).alias("_wids")
     )
-    grams = tw.select("doc_id", gram.alias("gram")).where(F.col("gram").isNotNull())
+    wids = F.col("_wids")
+    n = F.size(wids)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_expr = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.get(wids, i) * F.lit(SID_P) + F.get(wids, i + 1),
+            F.lit(MERSENNE31),
+        ),
+    )
+    grams = d.select("doc_id", F.explode(gram_expr).alias("gram"))
     counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    agg = counted.groupBy("doc_id").agg(
+    base = counted.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),
         F.max("c").alias("top_c"),
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
     )
     top_frac = F.col("top_c").cast("double") / F.col("n_grams")
     dup_frac = F.col("dup_c").cast("double") / F.col("n_grams")
-    return agg.select(
+    return base.select(
         "doc_id",
         "n_grams",
         top_frac.alias("top_gram_frac"),

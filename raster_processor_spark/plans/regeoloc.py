@@ -366,7 +366,7 @@ def regeoloc_pipeline(spark: SparkSession, sf_dir: str, store) -> DataFrame:
         pts = _pts()
         w = F.col("height_w")
         return pts.groupBy("cell_id").agg(
-            (F.sum(F.round(F.col("height") * 1e5) * w) / F.sum(w) / 1e5).alias("h_new")
+            (F.sum(F.floor(F.col("height") * 1e5 + 0.5).cast("double") * w) / F.sum(w) / 1e5).alias("h_new")
         )
 
     cells = store.resume_or_compute(

@@ -98,7 +98,7 @@ def pixc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         # complex interferogram layer — the reference's only non-flat type
         # (products.py:2015), SURVEY §1.2 maps it to struct<re, im>
         F.struct(
-            (F.pmod(F.round(F.col("l_extendedprice")), F.lit(1000)) - 500).alias("re"),
+            (F.pmod(iround(F.col("l_extendedprice")), F.lit(1000)) - 500).alias("re"),
             (F.pmod(F.col("l_suppkey"), F.lit(997)) - 498).cast("double").alias("im"),
         ).alias("ifgram"),
         F.pmod(F.col("l_linenumber"), F.lit(4)).cast("long").alias("phase_t"),
@@ -141,9 +141,41 @@ CELL8_SQL = ci.quad_cell_sql("lat", "lon", 8)
 CELL9_SQL = ci.quad_cell_sql("lat", "lon", 9)
 
 
+def iround(x) -> "F.Column":
+    """round-half-up as floor(x + 0.5), for expressions that are exact
+    integers (or exact half-integers) by fixture construction.
+
+    Spark's round() on doubles allocates a BigDecimal per value — measured
+    ~2x slower on the integerized aggregation kernels (0.95 → 0.43 s for
+    the wse sums at sf0.1). floor(+0.5) is plain FP and BIT-IDENTICAL to
+    ROUND for every value this engine rounds per-row: the integerized
+    layers sit within an ulp of an integer, and the only divergence window
+    for arbitrary values (x+0.5 FP-rounding upward across an integer)
+    requires x within half an ulp below k-0.5, which exact decimal .50
+    values never hit (k-0.5 is exactly representable below 2^52). Rounds
+    of genuinely real-valued expressions (e.g. round(sqrt(...)) in
+    ifgram's power sum) deliberately KEEP F.round. The cast back to double
+    preserves the aggregate/output types of the round() form."""
+    return F.floor(x + F.lit(0.5)).cast("double")
+
+
 def with_cell(df: DataFrame, res: int, alias: str = "cell_id") -> DataFrame:
-    """Arrow-batched pandas-UDF cell assignment (north-star hot path)."""
+    """Arrow-batched pandas-UDF cell assignment (the J2 chunked-transform
+    surface; plan-pinned in tests). Kept on the quality-kernel path
+    (qual_rollup) as the demonstrated Arrow boundary."""
     return df.withColumn(alias, quad_cell_udf(res)(F.col("lat"), F.col("lon")))
+
+
+def with_cell_jvm(df: DataFrame, res: int, alias: str = "cell_id") -> DataFrame:
+    """JVM-expression cell assignment (bit-identical twin of with_cell —
+    same floor/clamp double arithmetic, see functions.cells.quad_cell_col).
+
+    This is the default for every aggregation query: the Arrow form ships
+    (lat, lon) of the whole fact table to Python workers and back per query
+    just to run two floors — guide §4's first rule (built-ins over UDFs).
+    Measured at sf0.1 it removes an entire ArrowEvalPython stage (~0.2-0.4 s
+    per query) and keeps the scan → agg pipeline in one codegen span."""
+    return df.withColumn(alias, quad_cell_col(F.col("lat"), F.col("lon"), res))
 
 
 @dataclass
@@ -178,7 +210,7 @@ FROM pts
 """,
 )
 def tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(doc_points(spark, sf_dir), 9, "cell9")
+    pts = with_cell_jvm(doc_points(spark, sf_dir), 9, "cell9")
     return pts.select(
         "key",
         "cell9",
@@ -202,7 +234,7 @@ FROM pts GROUP BY 1
 """,
 )
 def cell_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(doc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(doc_points(spark, sf_dir), 7)
     return pts.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
@@ -232,7 +264,7 @@ def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (much smaller) res-9 aggregate up the prefix hierarchy — counts are
     re-aggregable, so coarser levels never touch the base table again (the
     same trick a 100 TB rollup needs: |cells| << |points|)."""
-    pts = with_cell(doc_points(spark, sf_dir), 9, "cell9")
+    pts = with_cell_jvm(doc_points(spark, sf_dir), 9, "cell9")
     base9 = pts.groupBy(F.col("cell9").alias("cell_id")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -280,12 +312,15 @@ GROUP BY 1
 """,
 )
 def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_chars rides the PIP candidate join (keep=...) so the aggregation
+    # consumes containment pairs directly — no join back to the fact table
     pts = doc_points(spark, sf_dir)
     pip = sj.point_in_polygon_join(
-        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("key")
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("key"),
+        keep=["n_chars"],
     )
     return (
-        pip.join(pts, "key")
+        pip
         .groupBy("poly_id")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
@@ -464,11 +499,11 @@ FROM pts GROUP BY 1
 """,
 )
 def wse_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     w = F.col("height_w")
 
     def wm(col: str, scale: float):
-        return F.sum(F.round(F.col(col) * scale) * w) / F.sum(w) / scale
+        return F.sum(iround(F.col(col) * scale) * w) / F.sum(w) / scale
 
     h = wm("height", 1e5)
     g = wm("geoid", 1e7)
@@ -500,7 +535,7 @@ FROM pts GROUP BY 1
 """,
 )
 def water_area_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     cls = F.col("classification")
     return pts.groupBy("cell_id").agg(
         F.round(
@@ -566,7 +601,7 @@ def water_area_uncert(spark: SparkSession, sf_dir: str) -> DataFrame:
     nominal area dividing the fraction layers is the cell's total pixel area
     (the reference divides by the projected nominal cell area; same role,
     and the denominator is guarded for ANSI sessions)."""
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     cls = F.col("classification")
     a = F.col("pixel_area")
     det = F.col("pfd") * (F.lit(1.0) - F.col("pfd")) + F.col("pmd") * (
@@ -581,10 +616,10 @@ def water_area_uncert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
-    var_scaled = F.sum(F.round(var_px * 1000000.0))
+    var_scaled = F.sum(iround(var_px * 1000000.0))
     wa_scaled = F.sum(
         F.when(cls.isin(INTERIOR), a * 100)
-        .when(cls.isin(EDGE), a * F.round(F.col("water_frac") * 100))
+        .when(cls.isin(EDGE), a * iround(F.col("water_frac") * 100))
         .otherwise(F.lit(0.0))
     )
     nom = F.sum(a)
@@ -641,7 +676,7 @@ def ifgram_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer: flattened complex sum, its magnitude, and coherence = |Σz| / Σ|z|
     (1.0 when all flattened phasors align — the quantity the reference's
     height uncertainty consumes downstream of flatten_interferogram)."""
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     re, im = F.col("ifgram.re"), F.col("ifgram.im")
     t = F.col("phase_t")
     c, s, d = 1 - t * t, 2 * t, 1 + t * t
@@ -679,7 +714,7 @@ def dark_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mode on, where a bare 0-denominator divide is a runtime error. Zero
     # composite denominator yields 0.0 (reference raster_agg.py:266-269),
     # including the all-dark cell case.
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     return pts.groupBy("cell_id").agg(
         F.round(
             agg.dark_frac(
@@ -709,7 +744,7 @@ FROM pts GROUP BY 1
 """,
 )
 def ice_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     return pts.groupBy("cell_id").agg(
         agg.ice_flag(F.col("ice_clim_flag"), 1, "ice_clim"),
         agg.ice_flag(F.col("ice_dyn_flag"), 1, "ice_dyn"),
@@ -802,7 +837,9 @@ def qual_rollup_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     # static mask layer from the build-once snapshot (burn_flags_cached):
     # the burn depends only on grid res + polygon set, never on the data
     flags = brn.burn_flags_cached(spark, N_POLYS)
-    j = flags.join(rollup, "cell_id", "left")
+    # the rollup side is per-cell (bounded by the 2^15-cell grid, not by
+    # the fact table) — broadcast it so the dense mask layer never shuffles
+    j = flags.join(F.broadcast(rollup), "cell_id", "left")
     base = F.coalesce(F.col("qual_bitwise"), F.lit(brn.EMPTY_FILL_BITWISE))
     bits = (
         base
@@ -846,7 +883,7 @@ def summary_qual_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def mode_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     return agg.mode_agg(
         pts.select("cell_id", "classification"), ["cell_id"], "classification", "mode_class"
     )
@@ -864,23 +901,35 @@ def raster_product(spark: SparkSession, sf_dir: str, debug: bool = False) -> Dat
     """Per-cell raster product slice (n_pix + inv-var weighted height);
     ``debug=True`` appends the per-cell ``classification`` column exactly
     as RasterUTMDebug extends RasterUTM — same product, one extra
-    debug-only variable. The mode derivation groups by (cell, class) before
-    its window, so the debug column adds one small aggregate join, never a
-    second scan of the point table at a different grain."""
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    debug-only variable. The debug form pre-aggregates at (cell, class)
+    grain and re-aggregates per cell: ONE scan, two partial-aggregated
+    shuffles, no join and no window (the round-5 form scanned the point
+    table twice and sort-merge-joined base against the mode table). The
+    integerized height sums are exact in FP, so re-association across the
+    two aggregation levels is bit-identical; the mode ties break exactly
+    like mode_agg's (count DESC, class ASC) via a lexicographic max_by
+    (classification is non-null by construction — pmod+1)."""
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     w = F.col("height_w")
-    base = pts.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_pix"),
-        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)
-        .alias("height_wm"),
-    )
     if not debug:
-        return base
-    cls = agg.mode_agg(
-        pts.select("cell_id", "classification"),
-        ["cell_id"], "classification", "classification",
+        return pts.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_pix"),
+            (F.sum(iround(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0)
+            .alias("height_wm"),
+        )
+    counted = pts.groupBy("cell_id", "classification").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(iround(F.col("height") * 100000.0) * w).alias("_sh"),
+        F.sum(w).alias("_sw"),
     )
-    return base.join(cls, "cell_id", "left")
+    return counted.groupBy("cell_id").agg(
+        F.sum("_cnt").alias("n_pix"),
+        (F.sum("_sh") / F.sum("_sw") / 100000.0).alias("height_wm"),
+        F.max_by(
+            F.col("classification"),
+            F.struct(F.col("_cnt"), (-F.col("classification")).alias("_nc")),
+        ).alias("classification"),
+    )
 
 
 @q(
@@ -935,8 +984,8 @@ FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id
 """,
 )
 def raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
-    h_int = F.round(F.col("height") * 100000.0)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
+    h_int = iround(F.col("height") * 100000.0)
     a = (
         pts.where(F.pmod(F.col("key"), F.lit(2)) == 0)
         .groupBy("cell_id")
@@ -986,8 +1035,8 @@ def _bucketed_compare_sides(spark: SparkSession, sf_dir: str) -> tuple[str, str]
 
     def side(parity: int):
         def build():
-            pts = with_cell(pixc_points(spark, sf_dir), 7)
-            h_int = F.round(F.col("height") * 100000.0)
+            pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
+            h_int = iround(F.col("height") * 100000.0)
             return (
                 pts.where(F.pmod(F.col("key"), F.lit(2)) == parity)
                 .groupBy("cell_id")
@@ -1208,7 +1257,7 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = win.interval_join(ev, iv, _IV_BUCKET_US)
     return joined.groupBy("order_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 1000000.0)).cast("long").alias(
+        F.sum(iround(F.col("value") * 1000000.0)).cast("long").alias(
             "sum_value_micro"
         ),
     )
@@ -1333,7 +1382,7 @@ FROM kept GROUP BY 1
 """,
 )
 def degraded_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7).select(
         "key", "cell_id", "classification", "height", "qual_word"
     )
     good_sus = F.pmod(F.col("qual_word"), F.lit(4)) < 2
@@ -1382,7 +1431,7 @@ SELECT a.cell_id, 'common' AS side FROM a JOIN b ON a.cell_id = b.cell_id
 """,
 )
 def mask_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     a = pts.where(F.pmod(F.col("key"), F.lit(3)) == 0).select("cell_id").distinct()
     b = pts.where(F.pmod(F.col("key"), F.lit(3)) == 1).select("cell_id").distinct()
     only_a = a.join(b, "cell_id", "left_anti").withColumn("side", F.lit("only_a"))
@@ -1557,12 +1606,18 @@ def _zsw_oracle() -> str:
 
 
 def _zsw_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the weighted layers ride the PIP candidate join (keep=...): the
+    # round-5 form joined the (key, poly_id) pairs back against the whole
+    # 600k-row fact table on ukey — a full fact-table shuffle that moved
+    # strictly more bytes than threading the three payload columns through
+    # the (pruned) candidate set
     pts = pixc_points_unique(spark, sf_dir)
     pip = sj.point_in_polygon_join(
-        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("ukey")
-    ).withColumnRenamed("key", "ukey")
-    return pip.join(pts, "ukey").select(
-        F.col("ukey").alias("key"),
+        pts, N_POLYS, F.col("lat"), F.col("lon"), F.col("ukey"),
+        keep=["height", "height_w", "pixel_area"],
+    )
+    return pip.select(
+        "key",
         "poly_id",
         "height",
         "height_w",
@@ -1712,12 +1767,12 @@ FROM pts GROUP BY 1
 """,
 )
 def bright_land_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     bright = F.col("qual_word").bitwiseAND(F.lit(128)) > 0
     # integerized weighted sum (ROUND(h*1e5) * int weight): exact in FP, so
     # the partial-agg order cannot perturb the result vs the oracle
     wnum = F.sum(
-        F.when(~bright, F.round(F.col("height") * 100000.0) * F.col("height_w"))
+        F.when(~bright, iround(F.col("height") * 100000.0) * F.col("height_w"))
         .otherwise(F.lit(0.0))
     )
     wden = F.sum(F.when(~bright, F.col("height_w")).otherwise(F.lit(0.0)))
@@ -1746,7 +1801,7 @@ FROM cells
 """,
 )
 def cell_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(doc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(doc_points(spark, sf_dir), 7)
     cells = pts.select("cell_id").distinct()
     rem = F.col("cell_id") - F.lit(7 * ci.RES_SHIFT)
     yb = (rem / ci.Y_SHIFT).cast("long")
@@ -1832,7 +1887,7 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ptsb = (
         pts.withColumn(
             "h_new",
-            F.sum(F.round(F.col("height") * 100000.0) * w).over(w_cell)
+            F.sum(iround(F.col("height") * 100000.0) * w).over(w_cell)
             / F.sum(w).over(w_cell) / 100000.0,
         )
         .crossJoin(F.broadcast(bounds))
@@ -1937,7 +1992,7 @@ FROM sig GROUP BY 1
 """,
 )
 def height_std_deweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     raw = (F.col("height_var") - 0.05) * F.col("water_frac")
     sigma = (
         F.when(F.abs(raw) <= 0.0, F.lit(100000.0))
@@ -1948,7 +2003,7 @@ def height_std_deweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_pix"),
         F.sum(F.when(F.col("sigma") == 100000.0, 1).otherwise(0)).alias("n_deweighted"),
-        (F.sum(F.round(F.col("sigma") * 10000.0)) / 10000.0).alias("sigma_sum"),
+        (F.sum(iround(F.col("sigma") * 10000.0)) / 10000.0).alias("sigma_sum"),
     )
 
 
@@ -1968,9 +2023,9 @@ FROM pts GROUP BY 1
 """,
 )
 def height_uncert_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     w = F.col("height_w")
-    var_int = F.round(F.col("height_var") * 100.0)  # exact integer double
+    var_int = iround(F.col("height_var") * 100.0)  # exact integer double
     return pts.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_pix"),
         (F.sqrt(F.sum(var_int * w * w)) / F.sum(w)).alias("height_u"),
@@ -1993,10 +2048,10 @@ FROM pts GROUP BY 1
 """,
 )
 def sig0_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7)
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7)
     n = F.count(F.lit(1))
-    s_int = F.round(F.col("pixel_area") * 10.0)
-    u_int = F.round(F.col("water_frac") * 100.0)
+    s_int = iround(F.col("pixel_area") * 10.0)
+    u_int = iround(F.col("water_frac") * 100.0)
     return pts.groupBy("cell_id").agg(
         n.alias("n_pix"),
         (F.sum(s_int) / n / 10.0).alias("sig0_mean"),
@@ -2070,12 +2125,12 @@ FROM assigned a JOIN cells c ON a.cell_id = c.cell_id
 """,
 )
 def height_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = with_cell(pixc_points(spark, sf_dir), 7).select(
+    pts = with_cell_jvm(pixc_points(spark, sf_dir), 7).select(
         "key", "height", "height_w", "cell_id"
     )
     w = F.col("height_w")
     cells = pts.groupBy("cell_id").agg(
-        (F.sum(F.round(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0).alias(
+        (F.sum(iround(F.col("height") * 100000.0) * w) / F.sum(w) / 100000.0).alias(
             "cell_height"
         )
     )

@@ -16,8 +16,14 @@ from pyspark.sql import SparkSession
 # numeric columns. Engine rows carry ~4KB image payloads, and outsized Arrow
 # batches of binary columns thrash JVM↔Python transfer (measured: 100k-row
 # batches = 31 s to stream 766 MB to workers; 1k-row ≈ 4 MB batches = 4.2 s,
-# at parquet-scan speed). Batch by bytes, not rows.
-ARROW_BATCH_ROWS = 1024
+# at parquet-scan speed). Batch by bytes, not rows — Spark 4 has the direct
+# knob (spark.sql.execution.arrow.maxBytesPerBatch), so the row cap is only
+# the backstop: narrow numeric UDF stages (cell encode, PIP refine, Taylor
+# gather) get full 64k-row batches instead of paying per-batch Python
+# dispatch 64x more often, while binary-payload stages stay byte-bounded at
+# the same ~4-16 MB the 1k-row cap used to give them.
+ARROW_BATCH_ROWS = 65536
+ARROW_BATCH_BYTES = 16 * 1024 * 1024
 
 
 def get_spark(
@@ -48,6 +54,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(ARROW_BATCH_BYTES))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Long-session hygiene (a many-query session accumulates state that
         # the defaults only reclaim lazily, multiplying late-session query
@@ -101,6 +108,7 @@ def get_spark_submitted(app_name: str = "raster_processor_spark") -> SparkSessio
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(ARROW_BATCH_BYTES))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.cleaner.periodicGC.interval", "2min")

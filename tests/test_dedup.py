@@ -164,21 +164,17 @@ def test_repetition_stats_flags_planted_docs(spark):
         "doc_id BIGINT, text STRING, source STRING",
     )
 
-    import raster_processor_spark.operators.dedup as dd
+    # exercise the real read path (the narrow array front-end reads the
+    # documents table directly — no token-level injection point anymore)
+    import tempfile
 
-    orig = dd.tokens
+    from pyspark.sql import functions as F
 
-    def fake_tokens(_spark, _sf):
-        from pyspark.sql import functions as F
-
-        d = docs.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-        return d.select("doc_id", F.posexplode("ws").alias("i", "word"))
-
-    dd.tokens = fake_tokens
-    try:
-        got = {r.doc_id: r for r in tx.repetition_stats(spark, "unused").collect()}
-    finally:
-        dd.tokens = orig
+    with tempfile.TemporaryDirectory() as td:
+        docs.select("doc_id", F.trim("text").alias("text"), "source").write.mode(
+            "overwrite"
+        ).parquet(f"{td}/documents.parquet")
+        got = {r.doc_id: r for r in tx.repetition_stats(spark, td).collect()}
     assert got[1].repetitive and got[1].top_gram_frac > 0.4
     assert not got[2].repetitive and got[2].dup_gram_frac == 0.0
 
