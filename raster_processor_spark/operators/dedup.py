@@ -233,29 +233,40 @@ def _sizes(sh: DataFrame) -> DataFrame:
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
     """(doc_a, doc_b, jaccard) intersection counts, two regimes:
 
-    * candidates given (LSH path): join the candidate PAIRS to the shingle
-      table on each side, count shared sids per pair. Work is
-      O(|cand| * avg_shingles) — the sid self-join explosion never happens,
-      which is the whole point of LSH at corpus scale.
+    * candidates given (LSH path): attach each side's per-document shingle
+      SET (one groupBy to arrays) to the candidate pairs and intersect
+      in-row (array_intersect). Work is O(|cand| * avg_shingles) like the
+      round-5 exploded join, but the per-pair shingle stream never exists
+      as rows: two joins and a corpus-sized groupBy disappear, the sizes
+      come free from the array lengths, and the verify's shuffle carries
+      |docs| arrays + |cand| pairs instead of |cand| x avg_shingles rows.
     * no candidates (exact path): inverted-index self-join on sid. At scale
       this needs a doc-frequency cap on hot sids; exact-by-construction here.
     """
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     if candidates is not None:
-        common = (
-            candidates.join(a, "doc_a")
-            .join(b, ["doc_b", "sid"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("c"))
+        arrs = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("_sids"))
+        j = candidates.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sids").alias("_sa")),
+            "doc_a",
+        ).join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sids").alias("_sb")),
+            "doc_b",
         )
-    else:
-        common = (
-            a.join(b, "sid")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("c"))
+        c = F.size(F.array_intersect("_sa", "_sb"))
+        return j.select(
+            "doc_a",
+            "doc_b",
+            (c.cast("double") / (F.size("_sa") + F.size("_sb") - c)).alias(
+                "jaccard"
+            ),
         )
+    common = (
+        sh.select(F.col("doc_id").alias("doc_a"), "sid")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sid"), "sid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     sizes = _sizes(sh)
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ns", "na"), "doc_a")
@@ -589,9 +600,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int) -> DataFra
             for b in range(4)
         ]
     )
+    # one exchange feeds both self-join sides (ReusedExchange) and already
+    # satisfies the join's required distribution — without it each side
+    # re-runs the banding projection + final simhash aggregation
     bands = sig.select(
         "doc_id", "simhash", F.posexplode(buckets).alias("band", "bucket")
-    )
+    ).repartition("band", "bucket")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
     )

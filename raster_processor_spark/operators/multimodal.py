@@ -182,17 +182,25 @@ def image_phash_pairs(
     )
     sig = image_phashes(ids)
     mask = (1 << PHASH_BAND_BITS) - 1
-    bands = None
-    for b in range(PHASH_BANDS):
-        nib = sig.select(
-            "key",
-            "phash",
-            F.lit(b).alias("band"),
+    # ONE posexplode projection, not a 4-way union of selects: each union
+    # branch was a separate consumer of the phash subtree and re-ran the
+    # whole codec decode pipeline per branch (and again per join side) —
+    # the same multiple-consumer trap fixed in dedup.simhash_pairs
+    buckets = F.array(
+        *[
             F.shiftright(F.col("phash"), b * PHASH_BAND_BITS)
             .bitwiseAND(F.lit(mask))
-            .alias("bucket"),
-        )
-        bands = nib if bands is None else bands.unionByName(nib)
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    # materialize the banded signatures behind ONE exchange: the candidate
+    # self-join consumes bands on both sides, and without a common exchange
+    # each side would re-run the codec-decode mapInPandas; repartitioning on
+    # the join key lets the second side ride a ReusedExchange AND already
+    # satisfies the join's required distribution (no further shuffle)
+    bands = sig.select(
+        "key", "phash", F.posexplode(buckets).alias("band", "bucket")
+    ).repartition("band", "bucket")
     a = bands.select(
         F.col("key").alias("key_a"), F.col("phash").alias("ph_a"), "band", "bucket"
     )
