@@ -99,6 +99,13 @@ FROM (
 
 # The one outstanding persisted range-partitioned input (bounded at a
 # single entry — same session-hygiene pattern as text._RANGED_CACHE).
+# SERIAL-EXECUTION CONTRACT: building a new weighted_percentile_distributed
+# plan releases the PREVIOUS invocation's persists, so a caller must
+# execute (or abandon) each returned plan before building the next one —
+# two plans built before either runs would race each other's caches.
+# Every engine consumer (registry queries, bench, tests) executes plans
+# immediately; a concurrent-driver deployment should switch this to
+# per-invocation handles released in the caller's finally.
 _RANGED_CACHE: list[DataFrame] = []
 
 

@@ -726,13 +726,16 @@ def kmeans_centroids(
         eager=True
     )
     seeds = train.limit(n_centroids).collect()
-    # the IVF_KC_CAP coupling guarantees the sample covers the seed set
-    # (kc <= cap/2^5, and at tiny corpora kc <= n/4 <= sample): if this
-    # fires, the knobs have been decoupled and Lloyd would degenerate to
-    # one centroid per training row
-    assert len(seeds) == n_centroids, (
-        f"seed sample exhausted: {len(seeds)} < {n_centroids} centroids"
-    )
+    assert seeds, "kmeans_centroids: empty corpus — nothing to seed"
+    if len(seeds) < n_centroids:
+        # a corpus smaller than the kc floor (ivf_params floors kc at 16)
+        # seeds fewer centroids — exactly the SQL twin's LIMIT kc behavior
+        # (c0 ... WHERE cid < kc yields n rows); degrade identically
+        # instead of crashing. For any corpus past the floor the KC_CAP
+        # coupling (kc <= cap/2^5 <= sample) guarantees full seeding, so a
+        # shortfall there would still surface via the manifest's
+        # actual_centroids.
+        n_centroids = len(seeds)
     cids = np.arange(len(seeds), dtype=np.int64)
     cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
     for _ in range(iters):
@@ -815,6 +818,24 @@ def _corpus_fingerprint(path: str) -> str:
     return f"{acc:08x}"
 
 
+def _ivf_index_key(sf_dir: str, n: int, n_centroids: int, iters: int) -> str:
+    """The snapshot-index key — corpus identity INCLUDING the content
+    fingerprint. Every holder of the centroid matrix (the _IVF_MEMO, the
+    SnapshotStore table, and BOTH _centroid_broadcast call sites) must key
+    off this same string: a broadcast keyed on anything weaker (e.g. just
+    sf_dir + kc) would keep serving stale centroids after the corpus is
+    regenerated in place, while ivf_index/ivf_postings had already moved
+    to fresh ones — breaking oracle parity."""
+    import os
+
+    corpus_path = f"{sf_dir}/embeddings.parquet"
+    return (
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_n{n}_k{n_centroids}_i{iters}_c{IVF_SAMPLE_CAP}"
+        f"_fp{_corpus_fingerprint(corpus_path)}"
+    )
+
+
 def ivf_index(
     spark: SparkSession, sf_dir: str, iters: int = IVF_ITERS,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
@@ -838,11 +859,7 @@ def ivf_index(
     corpus_path = f"{sf_dir}/embeddings.parquet"
     n = parquet_row_count(corpus_path)
     n_centroids, nprobe = ivf_params(n)
-    key = (
-        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_n{n}_k{n_centroids}_i{iters}_c{IVF_SAMPLE_CAP}"
-        f"_fp{_corpus_fingerprint(corpus_path)}"
-    )
+    key = _ivf_index_key(sf_dir, n, n_centroids, iters)
     if key not in _IVF_MEMO:
         store = SnapshotStore(_default_index_root())
         # mutable on purpose: compute() fills in the ACTUAL post-dropout
@@ -937,11 +954,18 @@ def ann_ivf_topk(
     structureless corpus. Deterministic end-to-end — the SQL twin replays
     seeding, Lloyd iterations, spill, probes, and scoring bit-exactly.
     Queries stay a distributed DataFrame throughout."""
+    from raster_processor_spark.operators.knn import parquet_row_count
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cmat, cids, n_centroids, nprobe = ivf_index(spark, sf_dir)
     corpus = ivf_postings(spark, sf_dir, spill)
+    # keyed by the SAME fingerprinted index key ivf_index used, so an
+    # in-place corpus regeneration can never pair fresh postings with a
+    # stale memoized broadcast of the old centroids
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     bc = _centroid_broadcast(
-        spark, f"ivfq_{sf_dir}_{n_centroids}", cmat, cids
+        spark, "q_" + _ivf_index_key(sf_dir, n, n_centroids, IVF_ITERS),
+        cmat, cids,
     )
     qs = e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

@@ -193,6 +193,9 @@ FROM documents GROUP BY 1
 
 # The one outstanding persisted range-partitioned corpus (see below);
 # bounded at a single entry so long multi-query sessions never accumulate.
+# SERIAL-EXECUTION CONTRACT (same as percentiles._RANGED_CACHE): each
+# distributed_rank_cut plan must be executed before the next one is built —
+# building releases the previous invocation's persist.
 _RANGED_CACHE: list[DataFrame] = []
 
 

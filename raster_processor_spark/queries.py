@@ -420,6 +420,7 @@ def _knn_corpus_table(spark: SparkSession, sf_dir: str, res: int) -> str:
     import os as _os
     import re as _re
 
+    from raster_processor_spark.operators.similarity import _corpus_fingerprint
     from raster_processor_spark.sources.snapshots import bucketed_table
 
     base = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(_os.path.normpath(sf_dir)))
@@ -427,14 +428,19 @@ def _knn_corpus_table(spark: SparkSession, sf_dir: str, res: int) -> str:
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "spark-warehouse", "rps_bucketed", base,
     )
+    # corpus content fingerprint in the table identity (same staleness
+    # treatment as the IVF snapshot index): bucketed_table early-returns on
+    # an existing table, so without this a documents.parquet regenerated in
+    # place would silently keep serving the stale committed corpus
+    fp = _corpus_fingerprint(f"{sf_dir}/documents.parquet")
 
     def build():
         pts = doc_points(spark, sf_dir).select("key", "lat", "lon")
         return knn_op.indexed_corpus(pts, res)
 
     return bucketed_table(
-        spark, f"rps_knncorpus_{base}_r{res}",
-        _os.path.join(root, f"knn_r{res}"),
+        spark, f"rps_knncorpus_{base}_r{res}_fp{fp}",
+        _os.path.join(root, f"knn_r{res}_fp{fp}"),
         build, "cell", N_KNN_BUCKETS,
     )
 
@@ -1025,6 +1031,7 @@ def _bucketed_compare_sides(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     import os as _os
     import re as _re
 
+    from raster_processor_spark.operators.similarity import _corpus_fingerprint
     from raster_processor_spark.sources.snapshots import bucketed_table
 
     base = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(_os.path.normpath(sf_dir)))
@@ -1032,6 +1039,9 @@ def _bucketed_compare_sides(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "spark-warehouse", "rps_bucketed", base,
     )
+    # content fingerprint in the table identity — same in-place-regeneration
+    # staleness guard as the knn corpus / IVF snapshot keys
+    fp = _corpus_fingerprint(f"{sf_dir}/lineitem.parquet")
 
     def side(parity: int):
         def build():
@@ -1044,8 +1054,8 @@ def _bucketed_compare_sides(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             )
 
         return bucketed_table(
-            spark, f"rps_cmp_{base}_{parity}",
-            _os.path.join(root, f"side_{parity}"),
+            spark, f"rps_cmp_{base}_{parity}_fp{fp}",
+            _os.path.join(root, f"side_{parity}_fp{fp}"),
             build, "cell_id", N_CMP_BUCKETS,
         )
 

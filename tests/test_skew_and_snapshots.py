@@ -288,3 +288,33 @@ def test_incremental_cell_agg_matches_full_recompute(spark, tmp_path):
         p for p in __import__("os").listdir(str(tmp_path) + "/cagg") if p.startswith("snap-")
     )
     assert len(snaps) == 2
+
+
+def test_knn_corpus_table_tracks_corpus_content(spark, tmp_path):
+    """An in-place regeneration of documents.parquet must change the
+    committed kNN corpus table identity (content fingerprint in the name):
+    bucketed_table early-returns on an existing table, so without the
+    fingerprint the old corpus would silently keep serving neighbors."""
+    import os
+
+    from raster_processor_spark.queries import _knn_corpus_table
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+
+    def write_docs(n):
+        spark.range(n).selectExpr(
+            "id AS doc_id", "CAST(id % 7 AS INT) AS n_chars",
+            "'en' AS lang", "'s' AS source",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/documents.parquet"
+        )
+
+    write_docs(40)
+    t1 = _knn_corpus_table(spark, sf, 4)
+    n1 = spark.table(t1).count()
+    write_docs(60)  # regenerated IN PLACE, same path
+    t2 = _knn_corpus_table(spark, sf, 4)
+    n2 = spark.table(t2).count()
+    assert t1 != t2, "corpus fingerprint not part of the table identity"
+    assert (n1, n2) == (40, 60)
