@@ -16,15 +16,15 @@ Algorithm — ONE declarative plan, zero driver coordination:
   3. the unresolved tail (sparse regions) falls back to a broadcast
      brute-force pass — bounded, tiny at scale.
 
-The escalation is composed LAZILY: each phase's input is the previous
-phase's queries anti-joined against its resolved keys, and the phases union
-into a single output plan. When the first ring resolves everything, AQE's
-empty-relation propagation collapses the later phases to empty relations at
-runtime — the escalation costs nothing when unused, and there are no
-per-round count()/isEmpty() driver round-trips (which dominated wall time:
-each round-trip is a full job on a mostly-idle cluster). Per-phase results
-carry a persist() hint so the anti-join derivation reuses the phase output
-instead of re-evaluating the candidate join.
+The escalation runs phase by phase: each phase's accepted set is
+materialized once via an eager localCheckpoint (see _phase_result) and the
+next phase's input is the previous queries anti-joined against its resolved
+keys; the phases union into the output plan over the materialized blocks.
+When the first ring resolves everything the later phases' inputs are empty
+and their jobs are no-ops. There are no per-round count()/isEmpty() driver
+round-trips beyond the phase materializations themselves (each is one job;
+the round-5 fully-lazy form instead re-ran each phase's rank window once
+per consumer).
 
 Distance: planar squared degrees (dx*dx + dy*dy) — a single-rounding double
 expression, bit-identical in Spark / DuckDB / numpy, deterministic ties by
@@ -123,8 +123,28 @@ HOT_RES_DELTA = 3
 HOT_SPLIT_MIN_ROWS = 16384
 
 
+def _phase_result(got: DataFrame, checkpoint: bool) -> DataFrame:
+    """Materialize one ring phase's accepted set (or leave it lazy).
+
+    The accepted set has TWO consumers — the output union and the next
+    phase's anti-join derivation — and with a lazy plan each consumer
+    re-runs the rank window over the candidate join (the Exchange is
+    reused, the window is not; measured 0.2-0.4 s per kNN query at sf0.1).
+    ``localCheckpoint(eager=True)`` runs each phase once at plan-build time
+    (the same build-time-execution contract weighted_percentile_distributed
+    already has) and truncates the downstream plan. The blocks are
+    k·|queries| rows of 4 scalars, are NOT CacheManager entries (the
+    stateless test still holds), and are released by ContextCleaner as soon
+    as the caller drops the returned DataFrame — per-query-bounded, unlike
+    the round-3 persist leak. ``checkpoint=False`` keeps the fully lazy
+    single-plan form (used by plan-shape tests that must SEE the candidate
+    join in the final plan)."""
+    return got.localCheckpoint(eager=True) if checkpoint else got
+
+
 def _ring_phases_quad(
-    spark, queries, corpus_join, res: int, rings: tuple[int, ...], k: int
+    spark, queries, corpus_join, res: int, rings: tuple[int, ...], k: int,
+    checkpoint: bool = True,
 ):
     """Run the escalating ring schedule at one resolution. ``queries`` has
     (key, lat, lon, ybin, xbin) binned at ``res``; returns (accepted rows
@@ -171,14 +191,15 @@ def _ring_phases_quad(
             f"max(CASE WHEN rank <= {k} THEN dist2 END)"
             " OVER (PARTITION BY qkey) AS _kth",
         )
-        # the accepted set is referenced twice in the final plan — once in
-        # the output union and once to derive the next phase's unresolved
-        # anti-join; both consumers sit on the same candidate-join Exchange,
-        # which Spark reuses (ReusedExchange), so only the cheap window
-        # re-runs per consumer — no persist, no session-lifetime cache state
-        got = ranked.where(
-            f"_cnt >= {k} AND _kth < {limit!r}D AND rank <= {k}"
-        ).select("qkey", "nkey", "dist2", "rank")
+        # the accepted set is referenced twice (output union + next phase's
+        # anti-join derivation) — materialize it once per phase, see
+        # _phase_result
+        got = _phase_result(
+            ranked.where(
+                f"_cnt >= {k} AND _kth < {limit!r}D AND rank <= {k}"
+            ).select("qkey", "nkey", "dist2", "rank"),
+            checkpoint,
+        )
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
@@ -194,6 +215,7 @@ def knn_join(
     corpus_table: str | None = None,
     corpus_table_fine: str | None = None,
     hot_cap: int | None = HOT_CELL_CAP,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """points: DataFrame(key, lat, lon) → (key, neighbor_key, dist2, rank).
 
@@ -207,11 +229,11 @@ def knn_join(
     costs a full extra scan — avoid at scale.
 
     Each ring's accepted set feeds the final union AND the next phase's
-    anti-join; the expensive part (candidate equi-join + its Exchange) is
-    shared between the two consumers via ReusedExchange, so there is no
-    persist() — measured identical-or-faster than a persisted variant, and
-    stateless: nothing survives the query (a persisted variant leaked one
-    cached ring per invocation for the session's lifetime)."""
+    anti-join; by default each phase is materialized once at build time
+    via an eager localCheckpoint (see _phase_result — 0.2-0.4 s faster per
+    query than the round-5 ReusedExchange form, per-query-bounded blocks,
+    CacheManager stays empty). ``checkpoint=False`` restores the fully
+    lazy single-plan form for plan-shape inspection."""
     spark = points.sparkSession
     pts = points.select("key", "lat", "lon")
     if res is None:
@@ -257,14 +279,18 @@ def knn_join(
         q_hot = q_cell.join(F.broadcast(hot_cells), "cell", "left_semi").drop(
             "cell", "ybin", "xbin"
         )
-        acc_s, un_s = _ring_phases_quad(spark, q_sparse, corpus_join, res, rings, k)
+        acc_s, un_s = _ring_phases_quad(
+            spark, q_sparse, corpus_join, res, rings, k, checkpoint
+        )
         fybin, fxbin, _fny, _fnx = _quad_bin_cols(fres)
         q_hot_f = q_hot.withColumn("ybin", fybin).withColumn("xbin", fxbin)
         if corpus_table_fine is not None:
             corpus_f = spark.table(corpus_table_fine).hint("merge")
         else:
             corpus_f = indexed_corpus(pts, fres)
-        acc_h, un_h = _ring_phases_quad(spark, q_hot_f, corpus_f, fres, rings, k)
+        acc_h, un_h = _ring_phases_quad(
+            spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+        )
         accepted = (
             acc_s.unionByName(acc_h)
             if acc_s is not None and acc_h is not None
@@ -274,7 +300,7 @@ def knn_join(
         unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
     else:
         accepted, unresolved = _ring_phases_quad(
-            spark, indexed, corpus_join, res, rings, k
+            spark, indexed, corpus_join, res, rings, k, checkpoint
         )
 
     # brute-force tail for whatever the ring schedule left unresolved:
@@ -369,7 +395,8 @@ _HEX_MUL = 1 << 20
 
 
 def _ring_phases_hex(
-    spark, queries, corpus, res: int, rings: tuple[int, ...], k: int
+    spark, queries, corpus, res: int, rings: tuple[int, ...], k: int,
+    checkpoint: bool = True,
 ):
     """Hex twin of _ring_phases_quad: same schedule, axial (q, r) keys and
     the hex separation bound (see knn_hex_join docstring)."""
@@ -416,9 +443,12 @@ def _ring_phases_hex(
             f"max(CASE WHEN rank <= {k} THEN dist2 END)"
             " OVER (PARTITION BY qkey) AS _kth",
         )
-        got = ranked.where(
-            f"_cnt >= {k} AND _kth < {limit2!r}D AND rank <= {k}"
-        ).select("qkey", "nkey", "dist2", "rank")
+        got = _phase_result(
+            ranked.where(
+                f"_cnt >= {k} AND _kth < {limit2!r}D AND rank <= {k}"
+            ).select("qkey", "nkey", "dist2", "rank"),
+            checkpoint,
+        )
         accepted = got if accepted is None else accepted.unionByName(got)
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
@@ -432,6 +462,7 @@ def knn_hex_join(
     rings: tuple[int, ...] = (3, 12),
     n_hint: int | None = None,
     hot_cap: int | None = HOT_CELL_CAP,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """kNN via H3-style hex k-ring expansion (the north star's literal
     phrasing) — same contract and EXACT same output as knn_join, different
@@ -492,12 +523,16 @@ def knn_hex_join(
         q_hot = indexed.join(
             F.broadcast(hot_cells), ["qbin", "rbin"], "left_semi"
         ).drop("qbin", "rbin")
-        acc_s, un_s = _ring_phases_hex(spark, q_sparse, corpus, res, rings, k)
+        acc_s, un_s = _ring_phases_hex(
+            spark, q_sparse, corpus, res, rings, k, checkpoint
+        )
         q_hot_f = q_hot.withColumn("qbin", _hex_qbin(fres)).withColumn(
             "rbin", _hex_rbin(fres)
         )
         corpus_f = _hex_corpus(pts, fres)
-        acc_h, un_h = _ring_phases_hex(spark, q_hot_f, corpus_f, fres, rings, k)
+        acc_h, un_h = _ring_phases_hex(
+            spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+        )
         accepted = (
             acc_s.unionByName(acc_h)
             if acc_s is not None and acc_h is not None
@@ -507,7 +542,7 @@ def knn_hex_join(
         unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
     else:
         accepted, unresolved = _ring_phases_hex(
-            spark, indexed, corpus, res, rings, k
+            spark, indexed, corpus, res, rings, k, checkpoint
         )
 
     q = unresolved.select(

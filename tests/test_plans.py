@@ -218,17 +218,35 @@ def test_knn_bucketed_corpus_scan_is_bucket_aligned(spark):
     # the candidate join's corpus side must read the committed bucketed
     # layout (no Exchange above the corpus scan): the scan itself reports
     # bucket alignment, and disabling bucketing must ADD exchanges to the
-    # same query — write-time layout replacing run-time shuffle
-    df = REGISTRY["knn_bucketed"].spark(spark, SF_ORACLE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # same query — write-time layout replacing run-time shuffle.
+    # checkpoint=False keeps the ring phases lazy so the candidate join is
+    # visible in the final plan (the default materializes each phase at
+    # build time, truncating the inspectable plan at the phase boundary).
+    from raster_processor_spark.operators import knn as knn_op
+    from raster_processor_spark.queries import (
+        KNN_K,
+        _knn_corpus_table,
+        doc_points,
+    )
+
+    pts = doc_points(spark, SF_ORACLE).select("key", "lat", "lon")
+    n = knn_op.parquet_row_count(f"{SF_ORACLE}/documents.parquet")
+    res = knn_op.density_res(n)
+    tbl = _knn_corpus_table(spark, SF_ORACLE, res)
+
+    def build():
+        return knn_op.knn_join(
+            pts, KNN_K, res=res, n_hint=n, corpus_table=tbl, checkpoint=False
+        )
+
+    plan = build()._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert "SelectedBucketsCount: 16 out of 16" in plan
     n_bucketed = plan.count("Exchange")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
     try:
-        df2 = REGISTRY["knn_bucketed"].spark(spark, SF_ORACLE)
-        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        plan2 = build()._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     assert plan2.count("Exchange") > n_bucketed, (
