@@ -144,15 +144,28 @@ def _phase_result(got: DataFrame, checkpoint: bool) -> DataFrame:
 
 def _ring_phases_quad(
     spark, queries, corpus_join, res: int, rings: tuple[int, ...], k: int,
-    checkpoint: bool = True,
+    checkpoint: bool = True, n_exact: int | None = None,
 ):
     """Run the escalating ring schedule at one resolution. ``queries`` has
     (key, lat, lon, ybin, xbin) binned at ``res``; returns (accepted rows
-    (qkey, nkey, dist2, rank) or None, unresolved queries)."""
+    (qkey, nkey, dist2, rank) or None, unresolved queries — or None when
+    the schedule PROVABLY resolved every query).
+
+    ``n_exact``: the exact query count, when the caller knows it (parquet
+    footer metadata / an eager count — never an estimate). An accepted
+    query contributes exactly k rows (row_number <= k gated on _cnt >= k),
+    so once the phases' accepted row count reaches n_exact*k every query is
+    resolved and the remaining phases (and the caller's brute tail) are
+    dead plan weight — each one a scheduled no-op job plus py4j/codegen
+    cost. The count() per phase runs over that phase's already-materialized
+    localCheckpoint blocks (~tens of ms), so the check is free relative to
+    one skipped phase (measured: the full sf0.1 quad corpus resolves in
+    ring 3, making ring 12 + tail ~0.5 s of pure overhead per invocation)."""
     s = 180.0 / (1 << res)
     ny, nx = 1 << res, 1 << (res + 1)
     unresolved = queries
     accepted: DataFrame | None = None
+    resolved_total = 0
     for ring in rings:
         offs = _disk_offsets_df(spark, ring)
         # SQL-string plan assembly (one py4j call per stage instead of one
@@ -201,6 +214,10 @@ def _ring_phases_quad(
             checkpoint,
         )
         accepted = got if accepted is None else accepted.unionByName(got)
+        if checkpoint and n_exact is not None:
+            resolved_total += got.count()
+            if resolved_total == n_exact * k:
+                return accepted, None
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
     return accepted, unresolved
@@ -226,7 +243,13 @@ def knn_join(
     heuristic comes from ``n_hint`` (parquet_row_count / snapshot manifest
     — metadata only); only when the caller supplies neither ``res`` nor
     ``n_hint`` does the function fall back to an eager pts.count(), which
-    costs a full extra scan — avoid at scale.
+    costs a full extra scan — avoid at scale. ``n_hint``, when provided,
+    must be the EXACT row count (footer metadata and manifests are exact,
+    never estimates): besides the density heuristic it feeds the
+    provably-resolved short-circuit (see _ring_phases_quad) that elides
+    later ring phases and the brute tail once the materialized phases hold
+    n*k accepted rows — an undercount would silently drop unresolved
+    queries from the result.
 
     Each ring's accepted set feeds the final union AND the next phase's
     anti-join; by default each phase is materialized once at build time
@@ -298,33 +321,46 @@ def knn_join(
         )
         cols = ["key", "lat", "lon"]
         unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
+        # branch-level short-circuit (the per-branch query counts are
+        # unknown, so the in-phase check cannot fire inside the branches):
+        # one count over the branches' materialized blocks proves whether
+        # the schedules jointly resolved every query — if so the brute tail
+        # (and its anti-join derivation) is dead weight in the final plan
+        if checkpoint and n is not None and accepted is not None:
+            if accepted.count() == n * k:
+                unresolved = None
     else:
         accepted, unresolved = _ring_phases_quad(
-            spark, indexed, corpus_join, res, rings, k, checkpoint
+            spark, indexed, corpus_join, res, rings, k, checkpoint,
+            n_exact=n if checkpoint else None,
         )
 
-    # brute-force tail for whatever the ring schedule left unresolved:
-    # broadcast the query side (tiny by construction — sparse-region
-    # stragglers only); AQE propagates the empty relation when there are none
-    q = unresolved.select(
-        F.col("key").alias("qkey"),
-        F.col("lat").alias("qlat"),
-        F.col("lon").alias("qlon"),
-    )
-    cand = F.broadcast(q).crossJoin(
-        corpus.select("nkey", "nlat", "nlon")
-    ).where(F.col("qkey") != F.col("nkey"))
-    dx = F.col("nlon") - F.col("qlon")
-    dy2 = F.col("nlat") - F.col("qlat")
-    w = Window.partitionBy("qkey").orderBy(F.col("dist2").asc(), F.col("nkey").asc())
-    tail = (
-        cand.withColumn("dist2", dx * dx + dy2 * dy2)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qkey", "nkey", "dist2", "rank")
-    )
-    # rings=() => every query is in the brute tail and nothing was accepted
-    accepted = tail if accepted is None else accepted.unionByName(tail)
+    if unresolved is not None:
+        # brute-force tail for whatever the ring schedule left unresolved:
+        # broadcast the query side (tiny by construction — sparse-region
+        # stragglers only); AQE propagates the empty relation when there
+        # are none
+        q = unresolved.select(
+            F.col("key").alias("qkey"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+        )
+        cand = F.broadcast(q).crossJoin(
+            corpus.select("nkey", "nlat", "nlon")
+        ).where(F.col("qkey") != F.col("nkey"))
+        dx = F.col("nlon") - F.col("qlon")
+        dy2 = F.col("nlat") - F.col("qlat")
+        w = Window.partitionBy("qkey").orderBy(
+            F.col("dist2").asc(), F.col("nkey").asc()
+        )
+        tail = (
+            cand.withColumn("dist2", dx * dx + dy2 * dy2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qkey", "nkey", "dist2", "rank")
+        )
+        # rings=() => every query is in the brute tail, nothing was accepted
+        accepted = tail if accepted is None else accepted.unionByName(tail)
 
     return accepted.select(
         F.col("qkey").alias("key"),
@@ -396,10 +432,13 @@ _HEX_MUL = 1 << 20
 
 def _ring_phases_hex(
     spark, queries, corpus, res: int, rings: tuple[int, ...], k: int,
-    checkpoint: bool = True,
+    checkpoint: bool = True, n_exact: int | None = None,
 ):
     """Hex twin of _ring_phases_quad: same schedule, axial (q, r) keys and
-    the hex separation bound (see knn_hex_join docstring)."""
+    the hex separation bound (see knn_hex_join docstring). ``n_exact`` is
+    the same provably-resolved short-circuit as the quad twin: once the
+    materialized phases hold n_exact*k accepted rows, later phases and the
+    caller's brute tail are skipped."""
     from raster_processor_spark import cellindex as ci_mod
 
     s = 180.0 / (1 << res)
@@ -409,6 +448,7 @@ def _ring_phases_hex(
     )
     unresolved = queries
     accepted: DataFrame | None = None
+    resolved_total = 0
     for ring in rings:
         offs = spark.createDataFrame(
             [(int(dq), int(dr)) for dq, dr in ci_mod.hex_disk_offsets(ring)],
@@ -450,6 +490,10 @@ def _ring_phases_hex(
             checkpoint,
         )
         accepted = got if accepted is None else accepted.unionByName(got)
+        if checkpoint and n_exact is not None:
+            resolved_total += got.count()
+            if resolved_total == n_exact * k:
+                return accepted, None
         resolved_keys = got.select(F.col("qkey").alias("key")).distinct()
         unresolved = unresolved.join(resolved_keys, "key", "left_anti")
     return accepted, unresolved
@@ -479,7 +523,9 @@ def knn_hex_join(
     separation from the query is >= (1.5*(R+1) - 2)*size; a query resolves
     iff it has >= k candidates and its kth distance is strictly inside
     that bound. Unresolved stragglers fall through rings to the broadcast
-    brute tail — exactness never depends on the density heuristic. No
+    brute tail — exactness never depends on the density heuristic.
+    ``n_hint`` must be exact when provided (same contract and
+    provably-resolved short-circuit as knn_join). No
     longitude wrap (the hex grid is planar, matching the planar metric of
     the oracle; a wrapped near-dateline neighbor is far in the metric, so
     omitting wrapped candidates cannot change the answer)."""
@@ -540,29 +586,37 @@ def knn_hex_join(
         )
         cols = ["key", "lat", "lon"]
         unresolved = un_s.select(*cols).unionByName(un_h.select(*cols))
+        # branch-sum short-circuit, mirroring knn_join (see there)
+        if checkpoint and n is not None and accepted is not None:
+            if accepted.count() == n * k:
+                unresolved = None
     else:
         accepted, unresolved = _ring_phases_hex(
-            spark, indexed, corpus, res, rings, k, checkpoint
+            spark, indexed, corpus, res, rings, k, checkpoint,
+            n_exact=n if checkpoint else None,
         )
 
-    q = unresolved.select(
-        F.col("key").alias("qkey"),
-        F.col("lat").alias("qlat"),
-        F.col("lon").alias("qlon"),
-    )
-    cand = F.broadcast(q).crossJoin(
-        corpus.select("nkey", "nlat", "nlon")
-    ).where(F.col("qkey") != F.col("nkey"))
-    dx = F.col("nlon") - F.col("qlon")
-    dy2 = F.col("nlat") - F.col("qlat")
-    w = Window.partitionBy("qkey").orderBy(F.col("dist2").asc(), F.col("nkey").asc())
-    tail = (
-        cand.withColumn("dist2", dx * dx + dy2 * dy2)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qkey", "nkey", "dist2", "rank")
-    )
-    accepted = tail if accepted is None else accepted.unionByName(tail)
+    if unresolved is not None:
+        q = unresolved.select(
+            F.col("key").alias("qkey"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+        )
+        cand = F.broadcast(q).crossJoin(
+            corpus.select("nkey", "nlat", "nlon")
+        ).where(F.col("qkey") != F.col("nkey"))
+        dx = F.col("nlon") - F.col("qlon")
+        dy2 = F.col("nlat") - F.col("qlat")
+        w = Window.partitionBy("qkey").orderBy(
+            F.col("dist2").asc(), F.col("nkey").asc()
+        )
+        tail = (
+            cand.withColumn("dist2", dx * dx + dy2 * dy2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qkey", "nkey", "dist2", "rank")
+        )
+        accepted = tail if accepted is None else accepted.unionByName(tail)
     return accepted.select(
         F.col("qkey").alias("key"),
         F.col("nkey").alias("neighbor_key"),

@@ -137,6 +137,29 @@ def test_knn_empty_ring_schedule_falls_back_to_brute(spark):
     assert got == [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)]
 
 
+def test_knn_short_circuit_elides_tail_when_rings_resolve_all(spark):
+    # once the materialized phases hold n*k accepted rows, the remaining
+    # phases and the brute tail are provably dead and must not appear in
+    # the plan (each is a scheduled no-op job otherwise); the result must
+    # stay identical to the lazy form, whose tail is structurally present
+    from raster_processor_spark.operators import knn as knn_op
+
+    pts = spark.createDataFrame(
+        [(i, float(i // 20) * 0.01, float(i % 20) * 0.01) for i in range(400)],
+        "key BIGINT, lat DOUBLE, lon DOUBLE",
+    )
+    for join in (knn_op.knn_join, knn_op.knn_hex_join):
+        out = join(pts, 2, n_hint=400)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, join.__name__
+        lazy = join(pts, 2, n_hint=400, checkpoint=False)
+        lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in lazy_plan, join.__name__
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, lazy.collect())
+        ), join.__name__
+
+
 def test_knn_is_stateless_no_cache_survives_the_query(spark):
     # knn_join must leave NOTHING cached behind (the round-3 version
     # persisted one ring per invocation for the session's lifetime — a
