@@ -123,6 +123,21 @@ HOT_RES_DELTA = 3
 HOT_SPLIT_MIN_ROWS = 16384
 
 
+def _run_branches(concurrent: bool, *thunks):
+    """Run the independent hot/sparse branch builders, overlapped when the
+    eager-checkpoint form is in use (each builder executes its phase jobs
+    at build time; two driver threads let the scheduler back-fill one
+    branch's scheduling tail with the other's tasks — guide §2.6 shape).
+    Sequential when lazy (no build-time jobs to overlap)."""
+    if not concurrent:
+        return tuple(t() for t in thunks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
+
+
 def _phase_result(got: DataFrame, checkpoint: bool) -> DataFrame:
     """Materialize one ring phase's accepted set (or leave it lazy).
 
@@ -302,17 +317,26 @@ def knn_join(
         q_hot = q_cell.join(F.broadcast(hot_cells), "cell", "left_semi").drop(
             "cell", "ybin", "xbin"
         )
-        acc_s, un_s = _ring_phases_quad(
-            spark, q_sparse, corpus_join, res, rings, k, checkpoint
-        )
         fybin, fxbin, _fny, _fnx = _quad_bin_cols(fres)
         q_hot_f = q_hot.withColumn("ybin", fybin).withColumn("xbin", fxbin)
         if corpus_table_fine is not None:
             corpus_f = spark.table(corpus_table_fine).hint("merge")
         else:
             corpus_f = indexed_corpus(pts, fres)
-        acc_h, un_h = _ring_phases_quad(
-            spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+        # the two branches are independent job chains until the union;
+        # with eager phase materialization they would otherwise serialize
+        # at build time, leaving the cluster idle through each phase's
+        # scheduling tail — overlap them (guide-style concurrent actions;
+        # Spark's FIFO scheduler back-fills the idle slots). The lazy form
+        # has no build-time jobs, so it stays sequential.
+        (acc_s, un_s), (acc_h, un_h) = _run_branches(
+            checkpoint,
+            lambda: _ring_phases_quad(
+                spark, q_sparse, corpus_join, res, rings, k, checkpoint
+            ),
+            lambda: _ring_phases_quad(
+                spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+            ),
         )
         accepted = (
             acc_s.unionByName(acc_h)
@@ -569,15 +593,19 @@ def knn_hex_join(
         q_hot = indexed.join(
             F.broadcast(hot_cells), ["qbin", "rbin"], "left_semi"
         ).drop("qbin", "rbin")
-        acc_s, un_s = _ring_phases_hex(
-            spark, q_sparse, corpus, res, rings, k, checkpoint
-        )
         q_hot_f = q_hot.withColumn("qbin", _hex_qbin(fres)).withColumn(
             "rbin", _hex_rbin(fres)
         )
         corpus_f = _hex_corpus(pts, fres)
-        acc_h, un_h = _ring_phases_hex(
-            spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+        # overlap the independent branch job chains — see _run_branches
+        (acc_s, un_s), (acc_h, un_h) = _run_branches(
+            checkpoint,
+            lambda: _ring_phases_hex(
+                spark, q_sparse, corpus, res, rings, k, checkpoint
+            ),
+            lambda: _ring_phases_hex(
+                spark, q_hot_f, corpus_f, fres, rings, k, checkpoint
+            ),
         )
         accepted = (
             acc_s.unionByName(acc_h)
