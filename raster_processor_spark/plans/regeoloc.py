@@ -250,7 +250,36 @@ def taylor_step(df: DataFrame) -> DataFrame:
     return df.select(*cols).mapInArrow(run, schema)
 
 
-def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
+def collect_track(sens: DataFrame):
+    """Collect the sensor track ONCE via Arrow — unsorted — and sort it
+    driver-side. orderBy-then-collect paid a range-partitioning sample job
+    plus a sort shuffle just to produce arrays the driver can argsort in
+    milliseconds; sensor times are unique (events fixture), so np.argsort
+    reproduces the orderBy order exactly. Returns (st, sx, sy, sz) numpy
+    arrays sorted by time — st[0]/st[-1] also hand the caller the track
+    bounds for free (one scan of the sensor table total, instead of a
+    collect plus a separate min/max aggregate)."""
+    import numpy as np
+
+    stbl = sens.select("stus", "sx", "sy", "sz").toArrow()
+    if stbl.num_rows == 0:
+        # np.clip(idx-1, 0, n-1) with n == 0 would index an empty array at
+        # -1; an empty sensor table means there is nothing to gather — fail
+        # loudly (the window form nearest_sensor_gather produces the same
+        # empty/null outcome by construction)
+        raise ValueError(
+            "collect_track: sensor table is empty — no track to gather "
+            "against (use nearest_sensor_gather for the general path)"
+        )
+    st = stbl.column("stus").to_numpy(zero_copy_only=False).astype(np.int64)
+    sxa = stbl.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+    sya = stbl.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+    sza = stbl.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(st, kind="stable")
+    return st[order], sxa[order], sya[order], sza[order]
+
+
+def gather_taylor_broadcast(df: DataFrame, sens: DataFrame, track=None) -> DataFrame:
     """Fused nearest-sensor gather + Taylor step in ONE Arrow pass with the
     sensor track as a broadcast variable.
 
@@ -278,21 +307,10 @@ def gather_taylor_broadcast(df: DataFrame, sens: DataFrame) -> DataFrame:
     # Arrow collect, not Row collect: the sensor track is O(orbit records)
     # but a py4j Row materialization of it grows linearly with the table
     # (measured 9.6 s for 1M sensor rows vs 1.4 s via toArrow — the
-    # collect was half the query's cost at the 10x scale point)
-    stbl = sens.orderBy("stus").select("stus", "sx", "sy", "sz").toArrow()
-    if stbl.num_rows == 0:
-        # np.clip(idx-1, 0, n-1) with n == 0 would index an empty array at
-        # -1; an empty sensor table means there is nothing to gather — fail
-        # loudly (the window form nearest_sensor_gather produces the same
-        # empty/null outcome by construction)
-        raise ValueError(
-            "gather_taylor_broadcast: sensor table is empty — no track to "
-            "gather against (use nearest_sensor_gather for the general path)"
-        )
-    st = stbl.column("stus").to_numpy(zero_copy_only=False).astype(np.int64)
-    sxa = stbl.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
-    sya = stbl.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
-    sza = stbl.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+    # collect was half the query's cost at the 10x scale point). Callers
+    # that already collected the track (collect_track) pass it in so the
+    # sensor table is scanned exactly once per query.
+    st, sxa, sya, sza = track if track is not None else collect_track(sens)
     bc = spark.sparkContext.broadcast((st, sxa, sya, sza))
 
     schema = (

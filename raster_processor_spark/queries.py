@@ -1893,18 +1893,26 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("height_w")
     w_cell = Window.partitionBy("cell_id")
     sens = rg._sensors(spark, sf_dir)
-    bounds = sens.agg(F.min("stus").alias("t0"), F.max("stus").alias("t1"))
+    # ONE scan of the sensor table: the collected track (needed anyway for
+    # the broadcast gather) also yields the time bounds as its first/last
+    # elements — the previous min/max aggregate + crossJoin(broadcast)
+    # re-scanned events per execution for two scalars the driver already
+    # holds. Literals carry the exact same long values the aggregate
+    # produced, so tus is bit-identical.
+    track = rg.collect_track(sens)
+    t0, t1 = int(track[0][0]), int(track[0][-1])
     ptsb = (
         pts.withColumn(
             "h_new",
             F.sum(iround(F.col("height") * 100000.0) * w).over(w_cell)
             / F.sum(w).over(w_cell) / 100000.0,
         )
-        .crossJoin(F.broadcast(bounds))
         .withColumn(
             "tus",
-            (F.col("t0") + F.pmod(F.col("key") * rg.TIME_SALT, F.col("t1") - F.col("t0")))
-            .cast("long"),
+            (
+                F.lit(t0).cast("long")
+                + F.pmod(F.col("key") * rg.TIME_SALT, F.lit(t1 - t0).cast("long"))
+            ).cast("long"),
         )
         .select("key", "lat", "lon", "height", "h_new", "tus")
     )
@@ -1914,7 +1922,7 @@ def regeoloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucketed union-window gather stays available for sensor sides too
     # large to broadcast (plans/regeoloc.nearest_sensor_gather, exercised by
     # regeoloc_pipeline)
-    return rg.gather_taylor_broadcast(ptsb, sens)
+    return rg.gather_taylor_broadcast(ptsb, sens, track=track)
 
 
 # ====================================================================== W3 ===
