@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 # LCG-style permutation constants for minhash (public-domain classics)
 MINHASH_PERMS: list[tuple[int, int, int]] = [
@@ -114,7 +115,7 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, signature groupBys) partitions by doc_id anyway — one shuffle
     here feeds them all."""
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id", F.split("text", " ").alias("ws"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
@@ -214,7 +215,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally distinct by construction (one row per document), replacing the
     distinct()'s shuffle too. Values are bit-identical to the DuckDB twin
     (same integer fold; collision probability ~|shingles|²/2^32)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet")
     # materialize the wid array as its own projection: sid_array_col reads
     # it three times per element, and Catalyst only de-duplicates a
     # multi-referenced expensive alias across a Project boundary (inlining
@@ -792,7 +793,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     collapsed to its canonical member (min doc id). Docs in no cluster pass
     through; clustered docs survive iff they ARE the cluster label. This is
     the table a training pipeline actually feeds downstream."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "n_chars"
     )
     labels = dedup_clusters(spark, sf_dir, tau)

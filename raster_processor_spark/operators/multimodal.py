@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 from raster_processor_spark import codec
 
@@ -175,7 +176,7 @@ def image_phash_pairs(
     bucket skew a production phash index sees on near-flat photos; the
     banded join absorbs it because buckets, not pairs, are the join keys."""
     ids = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .where(F.col("doc_id") < n)
         .repartition(8)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 CAPACITY = 2048
 MIN_SLOT = 16
@@ -71,7 +72,7 @@ def pack_assignments(
     partial (under-filled) bins per stratum instead of 1. At corpus scale a
     single stratum can hold ~n/80 docs (80 (source, size_class) strata), so
     the salted window is what keeps one task from sorting it alone."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
     )
     sc = _size_class_col(F.col("n_tokens"), capacity)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 MIX_P = 2147483647  # Mersenne prime 2^31-1 (int64-safe products)
 MIX_ROUNDS = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
@@ -54,7 +55,7 @@ def rate_sample(
 ) -> DataFrame:
     """Keep ~permille/1000 of documents — membership a pure function of
     doc_id (no shuffle, no seed, append-stable)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "n_chars"
     )
     keep = F.pmod(_mix_col(F.col("doc_id")), F.lit(1000)) < permille
@@ -74,7 +75,7 @@ def exact_k_sample(
 ) -> DataFrame:
     """Exactly min(k, |stratum|) docs per source, chosen by hash order —
     the deterministic reservoir. One shuffle on (source)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     mix = _mix_col(F.col("doc_id"))
@@ -124,7 +125,7 @@ def temperature_sample(
         "correctly rounded in both engines; pow() is not)"
     )
     frac = frac_permille / 1000.0
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 DIM = 64
 
@@ -92,7 +93,7 @@ def ann_brute_topk(
     bit-exact sequential fold and emits only each slice's local top-k per
     query (a correct superset of the global top-k); a final window ranks
     globally over n_slices*k rows per query."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     par = spark.sparkContext.defaultParallelism
     qs = e.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -194,7 +195,7 @@ def embedding_near_dup_pairs(
     cosine matrix. At 100 TB, B scales ~ sqrt(n^2/mem) and the tile matmuls
     are the (unavoidable) compute floor. FP semantics bit-match the SQL fold
     (_seq_dot / _seq_norm2)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    e = _read_parquet(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     m = e.withColumn("blk", blk)
     wu = spark.createDataFrame(
@@ -596,7 +597,7 @@ def ann_srp_topk(
     training pass. Duplicated (query, neighbor) collisions across bands
     carry identical cosines and are deduped AFTER scoring on scalar rows
     (ids + cosine), so 64-dim arrays never shuffle through a distinct."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     srp = _srp_buckets_udf()
     bk = e.select(
         "vec_id", "embedding",
@@ -868,7 +869,7 @@ def ivf_index(
         metrics = {"n": n, "n_centroids": n_centroids, "iters": iters}
 
         def compute() -> DataFrame:
-            e = spark.read.parquet(corpus_path)
+            e = _read_parquet(spark, corpus_path)
             cmat, cids = kmeans_centroids(e, n_centroids, iters)
             metrics["actual_centroids"] = int(len(cids))
             metrics["probe_fraction"] = round(
@@ -925,7 +926,7 @@ def ivf_postings(
     bc = _centroid_broadcast(spark, key, cmat, cids)
 
     def compute() -> DataFrame:
-        e = spark.read.parquet(corpus_path)
+        e = _read_parquet(spark, corpus_path)
         return e.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("ne"),
@@ -956,7 +957,7 @@ def ann_ivf_topk(
     Queries stay a distributed DataFrame throughout."""
     from raster_processor_spark.operators.knn import parquet_row_count
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     cmat, cids, n_centroids, nprobe = ivf_index(spark, sf_dir)
     corpus = ivf_postings(spark, sf_dir, spill)
     # keyed by the SAME fingerprinted index key ivf_index used, so an

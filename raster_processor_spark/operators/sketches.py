@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -53,7 +54,7 @@ def cms_heavy_hitters(
 ) -> DataFrame:
     """Users whose CMS-estimated event count >= min_est, with the estimate
     and the exact count (one-sided error: est >= exact always)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    e = _read_parquet(spark, f"{sf_dir}/events.parquet").select("user_id")
     sketch = cms_build(e, F.col("user_id"))
     keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = None
@@ -117,7 +118,7 @@ HLL_ALPHA = 0.709  # alpha_64 (published constant for m=64)
 
 def hll_distinct(spark: SparkSession, sf_dir: str, key_col: str = "event_id") -> DataFrame:
     """One-row (n_est, n_exact) cardinality estimate of events.key_col."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(key_col)
+    e = _read_parquet(spark, f"{sf_dir}/events.parquet").select(key_col)
     h = F.pmod(F.lit(HLL_A) * F.col(key_col) + F.lit(HLL_B), F.lit(CMS_MOD))
     bucket = F.pmod(h, F.lit(HLL_M))
     w = (h / HLL_M).cast("long")

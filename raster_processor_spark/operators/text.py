@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 STOPWORDS = ["the", "a"]
 FP_MOD = 2147483647
@@ -15,7 +16,7 @@ FP_POWERS = [pow(31, i, FP_MOD) for i in range(16)]  # cyclic position weights
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/stopword stats + a quality score + lang heuristic."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars", F.split("text", " ").alias("ws")
     )
     n_tokens = F.size("ws")
@@ -60,7 +61,7 @@ FROM s
 
 
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
     )
     return d.groupBy("source").agg(
@@ -92,7 +93,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int64-safe), so the result is bit-identical to the grouped SUM."""
     from raster_processor_spark.operators.dedup import wid_array_col
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", wid_array_col(F.col("text")).alias("_wids")
     )
     pw = F.array(*[F.lit(p).cast("long") for p in FP_POWERS])
@@ -137,7 +138,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 16 bytes per row instead of whole documents — equal texts always
     collide; a 64-bit+length collision between different texts is ~n²/2^64
     and would be caught by the oracle compare."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet")
     return (
         d.select("doc_id", F.length("text").alias("tlen"), F.xxhash64("text").alias("th"))
         .groupBy("tlen", "th")
@@ -167,7 +168,7 @@ BPE_PATTERN = "[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source whitespace vs BPE-ish token totals + the subword blowup
     ratio a tokenizer-budget planner needs (all codegen, no UDF)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "source",
         F.size(F.split("text", " ")).alias("nw"),
         F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).alias("nb"),
@@ -305,7 +306,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambdas are CodegenFallback, evaluated interpreted per element).
     # Counts are the same exact integers, so the fractions are
     # bit-identical.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", wid_array_col(F.col("text")).alias("_wids")
     )
     wids = F.col("_wids")

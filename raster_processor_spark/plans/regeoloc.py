@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 from raster_processor_spark.functions import geodesy as geod
 
@@ -38,7 +39,7 @@ NADIR_H = 873_000.0  # nominal orbit altitude, m
 def _sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TVP analogue: one nadir record per event — deterministic nadir
     lat/lon from event_id, ECEF via llh2xyz."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _read_parquet(spark, f"{sf_dir}/events.parquet").select(
         F.unix_micros(F.col("ts").cast("timestamp")).alias("stus"),
         F.col("event_id"),
     )

@@ -43,7 +43,11 @@ KNN_K = 5
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # schema-memoized read (sources/tables.py): skips the ~100 ms
+    # per-call footer inference; the scan itself stays per-query
+    from raster_processor_spark.sources.tables import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from raster_processor_spark.sources.tables import read_parquet as _read_parquet
 
 from raster_processor_spark.operators import dedup as dd
 from raster_processor_spark.operators import similarity as sim
@@ -107,7 +108,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark import datagen
     from raster_processor_spark.operators import multimodal as mm
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     images = datagen.images_from_ids(d.repartition(8))
     stats = mm.decode_stats(images)
     return stats.select(
@@ -125,7 +126,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark.operators import multimodal as mm
 
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .where(F.col("doc_id") < _MM_RESIZE_N)
     )
@@ -147,7 +148,7 @@ def image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_processor_spark.operators import multimodal as mm
 
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .where(F.col("doc_id") < _CUR_N)
     )
@@ -240,7 +241,7 @@ _VID_N, _VID_EVERY, _AUD_N = 200, 4, 150
 @q("video_frame_sample", md.frame_sample_oracle_sql(_VID_N, _VID_EVERY))
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id").where(F.col("doc_id") < _VID_N).repartition(8)
     )
     return md.frame_sample(md.videos_from_ids(ids), every=_VID_EVERY)
@@ -249,7 +250,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("audio_features", md.audio_features_oracle_sql(_AUD_N))
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id").where(F.col("doc_id") < _AUD_N).repartition(8)
     )
     return md.audio_features(md.audios_from_ids(ids))
