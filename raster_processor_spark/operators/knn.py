@@ -53,14 +53,29 @@ def _disk_offsets_df(spark, ring: int) -> DataFrame:
     )
 
 
+_ROW_COUNT_MEMO: dict[str, tuple[object, int]] = {}
+
+
 def parquet_row_count(path: str) -> int:
     """Exact row count from parquet FOOTERS only — no data scan, no Spark
     job (pyarrow sums row-group counts from file metadata). This is the
     same lineage a snapshot manifest records (sources/snapshots.py), used
-    to feed density heuristics without doubling input I/O."""
+    to feed density heuristics without doubling input I/O. Memoized
+    against the path's on-disk state (same treatment as the schema memo in
+    sources/tables.py): the count of an unchanged file set is pure
+    metadata, and several queries re-derive it multiple times per
+    invocation."""
+    from raster_processor_spark.sources.tables import _path_state
+
+    state = _path_state(path)
+    hit = _ROW_COUNT_MEMO.get(path)
+    if hit is not None and hit[0] == state:
+        return hit[1]
     import pyarrow.dataset as ds
 
-    return ds.dataset(path, format="parquet").count_rows()
+    n = ds.dataset(path, format="parquet").count_rows()
+    _ROW_COUNT_MEMO[path] = (state, n)
+    return n
 
 
 def density_res(n: int) -> int:

@@ -185,7 +185,14 @@ class SnapshotStore:
         snap_id = snap_id or self.latest_snapshot(table)
         if snap_id is None:
             raise FileNotFoundError(f"no snapshot for table {table!r}")
-        return spark.read.parquet(os.path.join(self._snap_dir(table, snap_id), "data.parquet"))
+        # schema-memoized read (sources/tables.py): committed snapshots are
+        # immutable, and every snapshot-backed query re-reads its layer per
+        # invocation — the ~100 ms footer inference is pure repeat cost
+        from raster_processor_spark.sources.tables import read_parquet
+
+        return read_parquet(
+            spark, os.path.join(self._snap_dir(table, snap_id), "data.parquet")
+        )
 
     def has(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None
