@@ -46,10 +46,28 @@ from pyspark.sql import functions as F
 from raster_processor_spark import cellindex as ci
 
 
+# Constant offset tables (pure literals — no files, no data): creating the
+# local relation costs ~30 ms of py4j/conversion per call, and each kNN
+# invocation needs 2-4 of them. Memoized per (application, grid, ring);
+# keyed by applicationId so a restarted in-process session (tests) never
+# sees a relation bound to a stopped context.
+_OFFSETS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _offsets_df(spark, grid: str, rows: list, schema: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, grid)
+    df = _OFFSETS_MEMO.get(key)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        _OFFSETS_MEMO[key] = df
+    return df
+
+
 def _disk_offsets_df(spark, ring: int) -> DataFrame:
     offs = ci.quad_disk_offsets(ring)
-    return spark.createDataFrame(
-        [(int(dy), int(dx)) for dy, dx in offs], "dy BIGINT, dx BIGINT"
+    return _offsets_df(
+        spark, f"quad{ring}",
+        [(int(dy), int(dx)) for dy, dx in offs], "dy BIGINT, dx BIGINT",
     )
 
 
@@ -489,7 +507,8 @@ def _ring_phases_hex(
     accepted: DataFrame | None = None
     resolved_total = 0
     for ring in rings:
-        offs = spark.createDataFrame(
+        offs = _offsets_df(
+            spark, f"hex{ring}",
             [(int(dq), int(dr)) for dq, dr in ci_mod.hex_disk_offsets(ring)],
             "dq BIGINT, dr BIGINT",
         )
