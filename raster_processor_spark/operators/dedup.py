@@ -203,6 +203,25 @@ def sid_array_col(wids):
     )
 
 
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _sids): each document's DISTINCT 3-word shingle-id set as
+    an in-row array — the narrow form the front-end computes anyway before
+    exploding. Both the exploded ``shingles`` view and the LSH verify's
+    per-document sets derive from this one projection, so the verify never
+    has to re-aggregate the exploded stream back into arrays (a
+    corpus-sized collect_list shuffle — see _jaccard_pairs)."""
+    d = _read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # materialize the wid array as its own projection: sid_array_col reads
+    # it three times per element, and Catalyst only de-duplicates a
+    # multi-referenced expensive alias across a Project boundary (inlining
+    # it would re-hash the whole document per access)
+    w = d.select("doc_id", wid_array_col(F.col("text")).alias("_wids"))
+    return w.select(
+        "doc_id",
+        F.array_distinct(sid_array_col(F.col("_wids"))).alias("_sids"),
+    )
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, sid) 3-word shingle ids.
 
@@ -215,15 +234,8 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally distinct by construction (one row per document), replacing the
     distinct()'s shuffle too. Values are bit-identical to the DuckDB twin
     (same integer fold; collision probability ~|shingles|²/2^32)."""
-    d = _read_parquet(spark, f"{sf_dir}/documents.parquet")
-    # materialize the wid array as its own projection: sid_array_col reads
-    # it three times per element, and Catalyst only de-duplicates a
-    # multi-referenced expensive alias across a Project boundary (inlining
-    # it would re-hash the whole document per access)
-    w = d.select("doc_id", wid_array_col(F.col("text")).alias("_wids"))
-    return w.select(
-        "doc_id",
-        F.explode(F.array_distinct(sid_array_col(F.col("_wids")))).alias("sid"),
+    return shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("_sids").alias("sid")
     )
 
 
@@ -231,21 +243,29 @@ def _sizes(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
 
 
-def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+def _jaccard_pairs(
+    sh: DataFrame, candidates: DataFrame | None, arrs: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) intersection counts, two regimes:
 
     * candidates given (LSH path): attach each side's per-document shingle
-      SET (one groupBy to arrays) to the candidate pairs and intersect
-      in-row (array_intersect). Work is O(|cand| * avg_shingles) like the
-      round-5 exploded join, but the per-pair shingle stream never exists
-      as rows: two joins and a corpus-sized groupBy disappear, the sizes
-      come free from the array lengths, and the verify's shuffle carries
-      |docs| arrays + |cand| pairs instead of |cand| x avg_shingles rows.
+      SET to the candidate pairs and intersect in-row (array_intersect).
+      Work is O(|cand| * avg_shingles) like the round-5 exploded join, but
+      the per-pair shingle stream never exists as rows: two joins and a
+      corpus-sized groupBy disappear, the sizes come free from the array
+      lengths, and the verify's shuffle carries |docs| arrays + |cand|
+      pairs instead of |cand| x avg_shingles rows. When the caller already
+      holds the per-document arrays (shingle_arrays — the projection the
+      exploded stream is derived FROM), pass them as ``arrs`` and the
+      re-aggregation groupBy disappears too: zero shuffles to build the
+      verify's array side. Only set membership and length are consumed, so
+      the collect_list and array_distinct forms are interchangeable.
     * no candidates (exact path): inverted-index self-join on sid. At scale
       this needs a doc-frequency cap on hot sids; exact-by-construction here.
     """
     if candidates is not None:
-        arrs = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("_sids"))
+        if arrs is None:
+            arrs = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("_sids"))
         j = candidates.join(
             arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sids").alias("_sa")),
             "doc_a",
@@ -363,9 +383,13 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup pairs: band-bucket join (b x r banding — see
     minhash_band_buckets) then exact-Jaccard verify on candidates only.
 
-    The shingle table is consumed four times (signatures, both sides of the
-    verify join, sizes) — cache it once."""
-    sh = shingles(spark, sf_dir).cache()
+    The per-document shingle ARRAY table feeds everything (signatures via
+    one explode, both sides of the verify join directly) — cache the array
+    form once: it is the smaller representation, and handing it to
+    _jaccard_pairs as ``arrs`` removes the verify's corpus-sized
+    re-aggregation shuffle outright."""
+    arr = shingle_arrays(spark, sf_dir).cache()
+    sh = arr.select("doc_id", F.explode("_sids").alias("sid"))
     sig = minhash_band_buckets(sh, rows_per_band)
     s1 = sig.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     s2 = sig.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
@@ -375,7 +399,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(sh, cand).where(F.col("jaccard") >= tau)
+    return _jaccard_pairs(sh, cand, arrs=arr).where(F.col("jaccard") >= tau)
 
 
 def _simhash_nibble_sources() -> list[tuple[int, int]]:
@@ -407,7 +431,8 @@ def incremental_lsh_pairs(
     incremental pair set is EXACTLY the full run's pair set restricted to
     pairs touching the new batch — the registered oracle states that
     equivalence directly."""
-    sh = shingles(spark, sf_dir).cache()
+    arr = shingle_arrays(spark, sf_dir).cache()
+    sh = arr.select("doc_id", F.explode("_sids").alias("sid"))
     is_new = F.pmod(F.col("doc_id"), F.lit(new_mod)) == new_mod - 1
     bb = minhash_band_buckets(sh, rows_per_band)
     b_new = bb.where(is_new)
@@ -428,7 +453,7 @@ def incremental_lsh_pairs(
         )
     )
     cand = cand_nn.unionByName(cand_no).distinct()
-    return _jaccard_pairs(sh, cand).where(F.col("jaccard") >= tau)
+    return _jaccard_pairs(sh, cand, arrs=arr).where(F.col("jaccard") >= tau)
 
 
 def incremental_lsh_sql(tau: float, new_mod: int = 5) -> str:
