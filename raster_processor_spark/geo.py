@@ -64,6 +64,26 @@ def lon_sql(key_sql: str) -> str:
     return f"(CASE WHEN ({key_sql}) % 10 = 0 THEN {hot} ELSE {cold} END)"
 
 
+def lat_sql_spark(key_sql: str) -> str:
+    """Spark-dialect twin of lat_col — pmod (bit-equal to lat_col's pmod on
+    any sign) and D-suffixed literals (a bare ``60.0`` parses as DECIMAL in
+    Spark SQL, unlike DuckDB). Exists so base-table projections can be
+    assembled as ONE selectExpr py4j call instead of ~60 Column round trips
+    (~150 ms per pixc_points build, measured); the parsed plan is the same
+    expression tree the Column builders produced."""
+    k = f"pmod({key_sql}, {_KEY_MOD})"
+    cold = f"pmod({k} * {_A_LAT}, {_LAT_MOD}) / 1e6 - 60.0D"
+    hot = f"pmod({k} * {_A_LAT}, {_HOT_LAT_MOD}) / 1e6 + {_HOT_LAT0!r}D"
+    return f"(CASE WHEN pmod({key_sql}, 10) = 0 THEN {hot} ELSE {cold} END)"
+
+
+def lon_sql_spark(key_sql: str) -> str:
+    k = f"pmod({key_sql}, {_KEY_MOD})"
+    cold = f"pmod({k} * {_A_LON}, {_LON_MOD}) / 1e6 - 180.0D"
+    hot = f"pmod({k} * {_A_LON}, {_HOT_LON_MOD}) / 1e6 + {_HOT_LON0!r}D"
+    return f"(CASE WHEN pmod({key_sql}, 10) = 0 THEN {hot} ELSE {cold} END)"
+
+
 def lat_np(key: np.ndarray) -> np.ndarray:
     key = np.asarray(key, dtype=np.int64)
     k = key % _KEY_MOD

@@ -51,12 +51,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents georeferenced by doc_id → (key, lat, lon, n_chars, lang, source)."""
+    """documents georeferenced by doc_id → (key, lat, lon, n_chars, lang,
+    source). One selectExpr call — see pixc_points for why."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        F.col("doc_id").alias("key"),
-        geo.lat_col(F.col("doc_id")).alias("lat"),
-        geo.lon_col(F.col("doc_id")).alias("lon"),
+    return d.selectExpr(
+        "doc_id AS key",
+        f"{geo.lat_sql_spark('doc_id')} AS lat",
+        f"{geo.lon_sql_spark('doc_id')} AS lon",
         "n_chars",
         "lang",
         "source",
@@ -72,40 +73,48 @@ DOC_PTS_SQL = (
 
 def pixc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → reference-semantics point table (FIXTURES.md F2 analogue):
-    classification / height / variance / areas derived deterministically."""
+    classification / height / variance / areas derived deterministically.
+
+    Assembled as ONE selectExpr call: this projection feeds most of the
+    registry and the Column-DSL form cost ~150-180 ms of py4j round trips
+    per build (measured; load() itself is ~13 ms). The SQL strings mirror
+    the former Column expressions operator-for-operator — pmod for pmod,
+    D-suffixed double literals (a bare 1000.0 would parse as DECIMAL in
+    Spark SQL), CASTs where the Column form cast — verified bit-identical
+    against the Column form column-by-column and by the full oracle gate."""
     li = load(spark, sf_dir, "lineitem")
-    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
-    return li.select(
-        key.alias("key"),
-        geo.lat_col(key).alias("lat"),
-        geo.lon_col(key).alias("lon"),
-        (F.pmod(F.col("l_linenumber"), F.lit(7)) + 1).alias("classification"),
-        (F.col("l_extendedprice") / 1000.0).alias("height"),
-        (F.col("l_tax") + 0.01).alias("height_var"),
+    k = "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"
+    return li.selectExpr(
+        f"{k} AS key",
+        f"{geo.lat_sql_spark(k)} AS lat",
+        f"{geo.lon_sql_spark(k)} AS lon",
+        "pmod(l_linenumber, 7) + 1 AS classification",
+        "l_extendedprice / 1000.0D AS height",
+        "l_tax + 0.01D AS height_var",
         # integer weight (w ≡ 1/σ² with σ² defined as 1/w): exact sums
-        (F.pmod(F.col("l_suppkey"), F.lit(7)) + 1).cast("double").alias("height_w"),
-        (F.col("l_quantity") * 10.0).alias("pixel_area"),
-        F.col("l_discount").alias("water_frac"),
-        F.pmod(F.col("l_linenumber"), F.lit(3)).alias("ice_clim_flag"),
-        F.pmod(F.col("l_orderkey"), F.lit(3)).alias("ice_dyn_flag"),
-        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long").alias("qual_word"),
-        (F.col("l_extendedprice") / 100000.0).alias("geoid"),
-        (F.col("l_discount") / 10.0).alias("solid_earth_tide"),
-        (F.col("l_tax") / 10.0).alias("pole_tide"),
+        "CAST(pmod(l_suppkey, 7) + 1 AS DOUBLE) AS height_w",
+        "l_quantity * 10.0D AS pixel_area",
+        "l_discount AS water_frac",
+        "pmod(l_linenumber, 3) AS ice_clim_flag",
+        "pmod(l_orderkey, 3) AS ice_dyn_flag",
+        "CAST(pmod(l_suppkey, 1024) AS BIGINT) AS qual_word",
+        "l_extendedprice / 100000.0D AS geoid",
+        "l_discount / 10.0D AS solid_earth_tide",
+        "l_tax / 10.0D AS pole_tide",
         # uncertainty inputs of the reference's aggregate_water_area
         # (raster_proc.py:429-430 wires water_frac_uncert / darea_dheight /
         # false+missed detection rates into the area aggregation)
-        (F.col("l_tax") + 0.02).alias("water_frac_uncert"),
-        (F.pmod(F.col("l_suppkey"), F.lit(5)) * 0.1).alias("darea_dheight"),
-        (F.pmod(F.col("l_partkey"), F.lit(10)) / 100.0).alias("pfd"),
-        (F.pmod(F.col("l_orderkey"), F.lit(10)) / 100.0).alias("pmd"),
+        "l_tax + 0.02D AS water_frac_uncert",
+        "pmod(l_suppkey, 5) * 0.1D AS darea_dheight",
+        "pmod(l_partkey, 10) / 100.0D AS pfd",
+        "pmod(l_orderkey, 10) / 100.0D AS pmd",
         # complex interferogram layer — the reference's only non-flat type
-        # (products.py:2015), SURVEY §1.2 maps it to struct<re, im>
-        F.struct(
-            (F.pmod(iround(F.col("l_extendedprice")), F.lit(1000)) - 500).alias("re"),
-            (F.pmod(F.col("l_suppkey"), F.lit(997)) - 498).cast("double").alias("im"),
-        ).alias("ifgram"),
-        F.pmod(F.col("l_linenumber"), F.lit(4)).cast("long").alias("phase_t"),
+        # (products.py:2015), SURVEY §1.2 maps it to struct<re, im>;
+        # FLOOR(x + 0.5D) cast DOUBLE is iround()
+        "named_struct("
+        "'re', pmod(CAST(FLOOR(l_extendedprice + 0.5D) AS DOUBLE), 1000) - 500, "
+        "'im', CAST(pmod(l_suppkey, 997) - 498 AS DOUBLE)) AS ifgram",
+        "CAST(pmod(l_linenumber, 4) AS BIGINT) AS phase_t",
     )
 
 
