@@ -1594,18 +1594,19 @@ JOIN ({{PIP}}) pip ON pip.key = p.ukey
 
 def pixc_points_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixc_points plus a genuinely unique int64 key (mixed-radix pack of
-    the (orderkey, linenumber, partkey, suppkey) natural PK)."""
+    the (orderkey, linenumber, partkey, suppkey) natural PK). One
+    selectExpr call — see pixc_points for why."""
     li = load(spark, sf_dir, "lineitem")
-    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
-    ukey = (key * 2097152 + F.col("l_partkey")) * 131072 + F.col("l_suppkey")
-    return li.select(
-        ukey.cast("long").alias("ukey"),
-        key.alias("key"),
-        geo.lat_col(key).alias("lat"),
-        geo.lon_col(key).alias("lon"),
-        (F.col("l_extendedprice") / 1000.0).alias("height"),
-        (F.pmod(F.col("l_suppkey"), F.lit(7)) + 1).cast("double").alias("height_w"),
-        (F.col("l_quantity") * 10.0).alias("pixel_area"),
+    k = "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"
+    return li.selectExpr(
+        f"CAST(({k} * 2097152 + l_partkey) * 131072 + l_suppkey AS BIGINT)"
+        " AS ukey",
+        f"{k} AS key",
+        f"{geo.lat_sql_spark(k)} AS lat",
+        f"{geo.lon_sql_spark(k)} AS lon",
+        "l_extendedprice / 1000.0D AS height",
+        "CAST(pmod(l_suppkey, 7) + 1 AS DOUBLE) AS height_w",
+        "l_quantity * 10.0D AS pixel_area",
     )
 
 
