@@ -121,12 +121,17 @@ def burned_pairs(spark: SparkSession, n_polys: int) -> DataFrame:
     join, res-7 cover); the SAT + center ray-cast verify runs on candidates
     only."""
     from raster_processor_spark.operators.spatial_join import polygon_cover_cells
+    from raster_processor_spark.sources.tables import const_df
 
-    cover = spark.createDataFrame(
-        polygon_cover_cells(n_polys, res=RES), "cell_id BIGINT, poly_id BIGINT"
+    cover = const_df(
+        spark, ("burn_cover", n_polys, RES),
+        lambda: polygon_cover_cells(n_polys, res=RES),
+        "cell_id BIGINT, poly_id BIGINT",
     )
-    edges = spark.createDataFrame(
-        edge_rows(n_polys), "poly_id BIGINT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE"
+    edges = const_df(
+        spark, ("burn_edges", n_polys),
+        lambda: edge_rows(n_polys),
+        "poly_id BIGINT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
     )
     cand = grid_df(spark).join(F.broadcast(cover), "cell_id")
     ce = cand.join(F.broadcast(edges), "poly_id")

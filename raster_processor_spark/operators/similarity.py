@@ -198,8 +198,11 @@ def embedding_near_dup_pairs(
     e = _read_parquet(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     m = e.withColumn("blk", blk)
-    wu = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+    from raster_processor_spark.sources.tables import const_df
+
+    wu = const_df(
+        spark, ("blockpairs", n_blocks),
+        lambda: [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "ba INT, bb INT",
     )
     rows_a = (

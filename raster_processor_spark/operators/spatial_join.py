@@ -112,8 +112,12 @@ def point_in_polygon_join(
     UDF still sees only (poly_id, lon, lat) — payload columns ride the
     plan untouched."""
     spark = points.sparkSession
-    cover = spark.createDataFrame(
-        polygon_cover_cells(n_polys), "cover_cell BIGINT, poly_id BIGINT"
+    from raster_processor_spark.sources.tables import const_df
+
+    cover = const_df(
+        spark, ("pip_cover", n_polys),
+        lambda: polygon_cover_cells(n_polys),
+        "cover_cell BIGINT, poly_id BIGINT",
     )
     keep = keep or []
     pts = points.select(

@@ -48,3 +48,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     _SCHEMA_MEMO[path] = (state, df.schema)
     return df
+
+
+_CONST_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
+def const_df(spark: SparkSession, key: tuple, rows_fn, schema: str) -> DataFrame:
+    """Memoized literal DataFrame — constant rows derived from code, never
+    from data (polygon edge tables, ring-offset tables, bbox covers):
+    ``createDataFrame`` costs ~25-30 ms of py4j/row conversion per call and
+    several operators rebuild the same constants on every invocation.
+    Keyed by (applicationId, *key) so a restarted in-process session never
+    sees a relation bound to a stopped context; entries of dead
+    applications are dropped on insert, bounding the memo at one session's
+    constants."""
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    df = _CONST_DF_MEMO.get(k)
+    if df is None:
+        for stale in [x for x in _CONST_DF_MEMO if x[0] != k[0]]:
+            del _CONST_DF_MEMO[stale]
+        df = spark.createDataFrame(rows_fn(), schema)
+        _CONST_DF_MEMO[k] = df
+    return df
